@@ -1,0 +1,159 @@
+"""QwenVL Document-Parser HTML parsing — reference-parity pure Python.
+
+Replicates the reference's HTML-element extraction (qwen_runner.py:193-292)
+including its deliberate quirks, which matter for span-sequence equality:
+
+  * Whitelist of 18 tags mapped to element types; any other tag
+    (``style``/``script``/``link``/...) never OPENS an element — top-level
+    boilerplate contributes nothing (DOM boilerplate strip).
+  * The parser tracks only ONE ``current`` tag.  A nested whitelisted start
+    tag *replaces* the outer one (text and bbox reset), so
+    ``<ul><li>x</li></ul>`` emits only the ``li`` element and the outer
+    ``</ul>`` is a no-op (SURVEY.md §7 hard part (b)).
+  * A NON-whitelisted start tag does not reset the current element, so
+    ``<p>a<style>x</style>b</p>`` yields text ``"a x b"`` — the style text
+    leaks into the open paragraph exactly as in the reference.
+  * ``data-bbox`` must be exactly 4 whitespace-separated ints, else None.
+  * Inner text chunks are joined with single spaces, whitespace-collapsed,
+    and empty-text elements are dropped.
+  * Self-closing ``<img .../>`` therefore produces NO element in the strict
+    reference parse (empty text).  For media interleaving the engine needs
+    those figures, so ``parse_qwenvl_html(..., keep_empty_media=True)``
+    additionally emits empty-text ``figure``-type elements (img/figure).
+    This is an engine extension, clearly flagged, used only by the span
+    assembly path; the default matches the reference byte-for-byte.
+  * If no element was produced and the input is non-blank: strip all tags,
+    collapse whitespace, and emit one ``paragraph`` element (plain-text
+    fallback, qwen_runner.py:283-291).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from .text import strip_tags_to_plain_text
+
+# Tag -> element_type map, qwen_runner.py:203-222.
+TAG_TO_TYPE: dict[str, str] = {
+    "h1": "heading",
+    "h2": "heading",
+    "h3": "heading",
+    "h4": "heading",
+    "h5": "heading",
+    "h6": "heading",
+    "p": "paragraph",
+    "table": "table",
+    "tr": "table_row",
+    "td": "table_cell",
+    "th": "table_cell",
+    "ul": "list",
+    "ol": "list",
+    "li": "list_item",
+    "img": "figure",
+    "figure": "figure",
+    "div": "block",
+    "span": "text",
+}
+
+MEDIA_TAGS = frozenset({"img", "figure"})
+
+_WS_RE = re.compile(r"\s+")
+
+
+@dataclass(slots=True)
+class ParsedElement:
+    """One extracted element: mirrors the reference's HtmlElement."""
+
+    tag: str
+    text: str
+    bbox: tuple[int, int, int, int] | None
+    element_type: str
+
+
+def _parse_bbox(value: str | None) -> tuple[int, int, int, int] | None:
+    if not value:
+        return None
+    parts = value.split()
+    if len(parts) != 4:
+        return None
+    try:
+        return (int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]))
+    except ValueError:
+        return None
+
+
+class _QwenHtmlParser(HTMLParser):
+    """Single-open-element stream parser (reference quirk set)."""
+
+    def __init__(self, keep_empty_media: bool) -> None:
+        super().__init__()
+        self.keep_empty_media = keep_empty_media
+        self.out: list[ParsedElement] = []
+        self._tag: str | None = None
+        self._bbox: tuple[int, int, int, int] | None = None
+        self._chunks: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag not in TAG_TO_TYPE:
+            return
+        self._tag = tag
+        self._chunks = []
+        self._bbox = None
+        for name, value in attrs:
+            if name == "data-bbox" and value:
+                parsed = _parse_bbox(value)
+                if parsed is not None:
+                    self._bbox = parsed
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag != self._tag or self._tag not in TAG_TO_TYPE:
+            return
+        text = _WS_RE.sub(" ", " ".join(self._chunks).strip())
+        if text:
+            self.out.append(
+                ParsedElement(self._tag, text, self._bbox, TAG_TO_TYPE[self._tag])
+            )
+        elif self.keep_empty_media and self._tag in MEDIA_TAGS:
+            # Engine extension: keep empty figures so the assembly stage can
+            # emit media_ref spans for <img/>-style elements.
+            self.out.append(
+                ParsedElement(self._tag, "", self._bbox, TAG_TO_TYPE[self._tag])
+            )
+        self._tag = None
+        self._bbox = None
+        self._chunks = []
+
+    def handle_data(self, data):
+        if self._tag:
+            self._chunks.append(data)
+
+
+def parse_qwenvl_html(
+    html_text: str, *, keep_empty_media: bool = False
+) -> list[ParsedElement]:
+    """Parse QwenVL HTML into ordered elements (reference parity by default)."""
+    parser = _QwenHtmlParser(keep_empty_media)
+    try:
+        parser.feed(html_text)
+    except Exception:
+        pass
+
+    elements = parser.out
+    has_nonmedia = any(e.text for e in elements) or (
+        elements and not keep_empty_media
+    )
+    if not elements and html_text.strip():
+        plain = strip_tags_to_plain_text(html_text)
+        if plain:
+            elements.append(ParsedElement("p", plain, None, "paragraph"))
+    elif keep_empty_media and not has_nonmedia:
+        # Reference fallback triggers when its strict parse finds nothing;
+        # with only empty-media elements kept, mirror it for the text side.
+        plain = strip_tags_to_plain_text(html_text)
+        if plain:
+            elements.append(ParsedElement("p", plain, None, "paragraph"))
+    return elements
