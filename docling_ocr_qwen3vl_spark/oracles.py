@@ -1,0 +1,322 @@
+"""DuckDB oracle SQL — independent derivations of each query's result.
+
+The driver registers the sf parquet files as views named
+``region nation customer supplier part orders lineitem events documents
+embeddings`` and runs these strings side-by-side with ``queries.py``.
+
+These oracles do NOT re-run the engine: where the Spark side parses payloads
+through the real UDF path, the oracle enumerates the expected output
+directly from the base tables (the synthetic corpus is a pure function of
+(doc_id, text), see sources/synthetic.py), which makes the comparison an
+actual end-to-end check rather than a tautology.
+"""
+
+# Shared fragment: whitespace-token array per document (>=10 words per doc).
+_WORDS_CTE = r"""
+docs AS (
+  SELECT doc_id AS doc_num,
+         CAST(doc_id AS VARCHAR) AS doc_id,
+         text,
+         n_chars,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w != '') AS ws
+  FROM documents
+)
+"""
+
+# Flagship: the expected span stream, slot-enumerated.
+# Page kinds cycle (doc+page)%4: 0 html, 1 plain, 2 layout, 3 table.
+#  html slots  : 0 h1=W(1,2) text | 1 p=W(3,8) text | 2 img media | 3 p=W(9,10) text
+#  plain slots : 0 W(1,4) | 1 W(5,8) | 2 W(9,10)  (all text)
+#  layout slots: 0 picture media | 1 table media   (title/text clusters carry no text)
+#  table slots : 0 media unless doc_num % 11 == 0 (rows=0 -> null table)
+EXTRACT_SPANS_SQL = (
+    "WITH "
+    + _WORDS_CTE
+    + r""",
+pages AS (
+  SELECT doc_id, doc_num, ws,
+         unnest(generate_series(0, CAST(doc_num % 3 AS BIGINT))) AS page_no
+  FROM docs
+),
+slots AS (
+  SELECT p.*, ((doc_num + page_no) % 4) AS kind_idx, s.slot_no
+  FROM pages p
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS slot_no) s
+),
+raw_elems AS (
+  SELECT doc_id, doc_num, page_no, slot_no,
+    CASE
+      WHEN kind_idx = 0 THEN (CASE WHEN slot_no = 2 THEN 'media_ref' ELSE 'text' END)
+      WHEN kind_idx = 1 THEN (CASE WHEN slot_no <= 2 THEN 'text' END)
+      WHEN kind_idx = 2 THEN (CASE WHEN slot_no <= 1 THEN 'media_ref' END)
+      ELSE (CASE WHEN slot_no = 0 AND doc_num % 11 <> 0 THEN 'media_ref' END)
+    END AS kind,
+    CASE
+      WHEN kind_idx = 0 THEN (CASE slot_no
+        WHEN 0 THEN array_to_string(ws[1:2], ' ')
+        WHEN 1 THEN array_to_string(ws[3:8], ' ')
+        WHEN 3 THEN array_to_string(ws[9:10], ' ')
+        ELSE '' END)
+      WHEN kind_idx = 1 THEN (CASE slot_no
+        WHEN 0 THEN array_to_string(ws[1:4], ' ')
+        WHEN 1 THEN array_to_string(ws[5:8], ' ')
+        WHEN 2 THEN array_to_string(ws[9:10], ' ')
+        ELSE '' END)
+      ELSE ''
+    END AS text
+  FROM slots
+),
+elems AS (
+  SELECT *,
+    CAST(row_number() OVER (PARTITION BY doc_id, page_no ORDER BY slot_no) - 1 AS INTEGER) AS seq,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY page_no, slot_no) - 1 AS INTEGER) AS "offset"
+  FROM raw_elems
+  WHERE kind IS NOT NULL
+)
+SELECT doc_id, "offset", kind, text,
+  CASE WHEN kind = 'media_ref'
+       THEN 'media://' || doc_id || '/' || page_no || '/' || seq
+       ELSE '' END AS media_ref
+FROM elems
+"""
+)
+
+BOILERPLATE_STRIP_SQL = r"""
+SELECT doc_id,
+  regexp_replace(
+    trim(regexp_replace(
+      '<div data-bbox="0 0 10 10">' || text || '</div><style>p{margin:0}</style>',
+      '<[^>]+>', ' ', 'g')),
+    '\s+', ' ', 'g') AS clean_text
+FROM documents
+"""
+
+PARAGRAPH_SPLIT_SQL = (
+    "WITH "
+    + _WORDS_CTE
+    + r""",
+paras AS (
+  SELECT doc_id, doc_num, s.slot_no AS seq,
+    CASE WHEN doc_num % 4 = 0 THEN
+      (CASE s.slot_no
+        WHEN 0 THEN array_to_string(ws[1:2], ' ')
+        WHEN 1 THEN array_to_string(ws[3:4], ' ')
+        WHEN 2 THEN array_to_string(ws[5:6], ' ') END)
+    ELSE
+      (CASE s.slot_no
+        WHEN 0 THEN array_to_string(ws[1:4], ' ')
+        WHEN 1 THEN array_to_string(ws[5:8], ' ') || chr(10) || array_to_string(ws[9:10], ' ')
+        END)
+    END AS paragraph
+  FROM docs
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS slot_no) s
+)
+SELECT CAST(doc_num AS BIGINT) AS doc_id, CAST(seq AS INTEGER) AS seq, paragraph
+FROM paras WHERE paragraph IS NOT NULL
+"""
+)
+
+THINK_STRIP_SQL = """
+SELECT doc_id, text AS out_text FROM documents
+"""
+
+JSON_KEY_REPAIR_SQL = """
+SELECT doc_id,
+  '{"y1":' || CAST(n_chars % 997 AS VARCHAR) || ',"x2":5}' AS fixed
+FROM documents
+"""
+
+TRAILING_COMMA_STRIP_SQL = """
+SELECT doc_id,
+  '[{"a":' || CAST(n_chars % 31 AS VARCHAR) || '}]' AS fixed
+FROM documents
+"""
+
+EXTRACT_JSON_BLOCK_SQL = """
+SELECT doc_id,
+  '{"v":' || CAST(n_chars % 113 AS VARCHAR) || '}' AS block
+FROM documents
+"""
+
+PARAGRAPH_CELLS_SQL = (
+    "WITH "
+    + _WORDS_CTE
+    + r""",
+paras AS (
+  SELECT doc_id, doc_num, s.slot_no AS seq,
+    CASE WHEN doc_num % 4 = 0 THEN
+      (CASE s.slot_no
+        WHEN 0 THEN array_to_string(ws[1:2], ' ')
+        WHEN 1 THEN array_to_string(ws[3:4], ' ')
+        WHEN 2 THEN array_to_string(ws[5:6], ' ') END)
+    ELSE
+      (CASE s.slot_no
+        WHEN 0 THEN array_to_string(ws[1:4], ' ')
+        WHEN 1 THEN array_to_string(ws[5:8], ' ') || chr(10) || array_to_string(ws[9:10], ' ')
+        END)
+    END AS paragraph
+  FROM docs
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS slot_no) s
+),
+kept AS (SELECT * FROM paras WHERE paragraph IS NOT NULL),
+sized AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY doc_id) AS DOUBLE) AS n FROM kept
+)
+SELECT CAST(doc_num AS BIGINT) AS doc_id,
+  CAST(seq AS INTEGER) AS idx,
+  paragraph AS cell_text,
+  round(CAST(doc_num % 3 AS DOUBLE) * 10.0, 6) AS l,
+  round(20.0 + seq * (300.0 / n), 6) AS t,
+  round(CAST(doc_num % 3 AS DOUBLE) * 10.0 + 600.0, 6) AS r,
+  round(20.0 + (seq + 1) * (300.0 / n), 6) AS b
+FROM sized
+"""
+)
+
+BBOX_RESCALE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(doc_id * 37 % 500 AS DOUBLE) AS x1,
+    CAST(doc_id * 53 % 500 AS DOUBLE) AS y1,
+    1000.0 + CAST(doc_id % 3 AS DOUBLE) * 240.0 AS width
+  FROM documents
+)
+SELECT doc_id,
+  round(x1 / 1000.0 * width, 6) AS l,
+  round(y1 / 1000.0 * 1400.0, 6) AS t,
+  round((x1 + 100.0 + CAST(doc_id % 7 AS DOUBLE) * 20.0) / 1000.0 * width, 6) AS r,
+  round((y1 + 80.0) / 1000.0 * 1400.0, 6) AS b
+FROM base
+"""
+
+OTSL_SKELETON_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(doc_id % 3 + 1 AS INTEGER) AS n_rows,
+    CAST(doc_id % 2 + 2 AS INTEGER) AS n_cols,
+    'cell' || repeat(' l cell', CAST(doc_id % 2 + 1 AS INTEGER)) AS row_str
+  FROM documents
+)
+SELECT doc_id, n_rows, n_cols,
+  row_str || repeat(' nl ' || row_str, n_rows - 1) AS otsl
+FROM base
+"""
+
+READING_ORDER_SQL = """
+WITH elems AS (
+  SELECT doc_id, s.slot_no,
+    CAST((doc_id + s.slot_no * 37) % 50 AS DOUBLE) * 17.0 AS t,
+    CAST((doc_id + s.slot_no * 61) % 40 AS DOUBLE) * 20.0 AS l
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS slot_no) s
+)
+SELECT doc_id,
+  CAST(slot_no AS INTEGER) AS slot_no,
+  round(t, 6) AS t,
+  round(l, 6) AS l,
+  CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY floor(t / 24.0), l, slot_no) - 1 AS INTEGER) AS rank
+FROM elems
+"""
+
+CONFIDENCE_AGG_SQL = """
+WITH clusters AS (
+  SELECT doc_id,
+    CAST((doc_id + s.cluster_id * 3) % 10 AS DOUBLE) / 10.0 AS confidence
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS cluster_id) s
+)
+SELECT doc_id, round(avg(confidence), 6) AS layout_score
+FROM clusters GROUP BY doc_id
+"""
+
+TOKEN_COUNT_SQL = (
+    "WITH " + _WORDS_CTE + """
+SELECT CAST(doc_num AS BIGINT) AS doc_id, CAST(len(ws) AS INTEGER) AS n_tokens FROM docs
+"""
+)
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+  min(doc_id) AS keeper,
+  CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+QUALITY_SCORE_SQL = (
+    "WITH " + _WORDS_CTE + r"""
+SELECT CAST(doc_num AS BIGINT) AS doc_id,
+  CAST(len(ws) AS INTEGER) AS n_tokens,
+  round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE), 6) AS mean_token_len,
+  round(CAST(len(list_filter(ws,
+        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE), 6) AS stopword_ratio
+FROM docs
+"""
+)
+
+LANG_ID_SQL = (
+    "WITH " + _WORDS_CTE + r""",
+hits AS (
+  SELECT CAST(doc_num AS BIGINT) AS doc_id,
+    CAST(len(list_filter(ws, w -> w IN ('the','and','of','to','a'))) AS INTEGER) AS en_hits,
+    CAST(len(list_filter(ws, w -> w IN ('el','la','de','que','y'))) AS INTEGER) AS es_hits,
+    CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) AS INTEGER) AS de_hits
+  FROM docs
+)
+SELECT doc_id, en_hits, es_hits, de_hits,
+  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+       WHEN es_hits >= de_hits THEN 'es'
+       ELSE 'de' END AS predicted_lang
+FROM hits
+"""
+)
+
+KNN_BRUTEFORCE_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, sim,
+    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT vec_id, round(sim, 6) AS cosine, rank
+FROM ranked WHERE rank <= 20
+"""
+
+ORACLES = {
+    "extract_interleaved_spans": EXTRACT_SPANS_SQL,
+    "boilerplate_strip": BOILERPLATE_STRIP_SQL,
+    "paragraph_split": PARAGRAPH_SPLIT_SQL,
+    "think_strip": THINK_STRIP_SQL,
+    "json_key_repair": JSON_KEY_REPAIR_SQL,
+    "trailing_comma_strip": TRAILING_COMMA_STRIP_SQL,
+    "extract_json_block": EXTRACT_JSON_BLOCK_SQL,
+    "paragraph_cells": PARAGRAPH_CELLS_SQL,
+    "bbox_rescale": BBOX_RESCALE_SQL,
+    "otsl_skeleton": OTSL_SKELETON_SQL,
+    "reading_order": READING_ORDER_SQL,
+    "confidence_agg": CONFIDENCE_AGG_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "quality_score": QUALITY_SCORE_SQL,
+    "lang_id": LANG_ID_SQL,
+    "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+}

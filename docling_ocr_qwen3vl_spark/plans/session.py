@@ -47,6 +47,14 @@ def build_session(
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
+    # shuffle spill to tmpfs when available: local-mode shuffles on a shared
+    # sandbox disk serialize on I/O; a real cluster has per-executor local SSDs
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        conf["spark.local.dir"] = shm
+    except OSError:
+        pass
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -1,0 +1,357 @@
+"""Named queries over the driver testdata — the correctness surface.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; each has a
+DuckDB oracle twin in ``oracles.py`` computing the SAME result independently
+(slot/direct derivation, not a re-run of the engine), so the driver's
+value-hash compare checks engine semantics end-to-end.
+
+Column names are aliased identically on both sides (driver sorts columns by
+name before hashing).  Floats are rounded on both sides before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.json_fns import (
+    extract_json_block,
+    fix_corrupted_keys,
+    strip_trailing_commas,
+)
+from .functions.text_fns import (
+    collapse_ws,
+    split_paragraphs_col,
+    strip_tags,
+    strip_think,
+    words,
+)
+from .plans.pipeline import extract_spans
+from .sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", "text", "n_chars", words(F.col("text")).alias("ws")
+    )
+
+
+def _w(i: int, j: int):
+    return F.array_join(F.slice(F.col("ws"), i, j - i + 1), " ")
+
+
+# ------------------------------------------------------------------ flagship
+def q_extract_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: synth interleaved pages -> decode -> ordered spans."""
+    return extract_spans(spark, sf_dir)
+
+
+# ------------------------------------------------------- text ops (T-series)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: tag-strip + whitespace collapse over an HTML-wrapped payload."""
+    payload = F.concat(
+        F.lit('<div data-bbox="0 0 10 10">'),
+        F.col("text"),
+        F.lit("</div><style>p{margin:0}</style>"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", strip_tags(payload).alias("clean_text")
+    )
+
+
+def q_paragraph_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: blank-line split with the global single-newline fallback.
+
+    Docs where doc_id %% 4 == 0 get a payload with NO blank lines (3
+    newline-separated parts -> exercises the fallback); others get one blank
+    line plus an embedded single newline (-> 2 paragraphs, fallback must NOT
+    fire).
+    """
+    fallback_payload = F.concat_ws("\n", _w(1, 2), _w(3, 4), _w(5, 6))
+    normal_payload = F.concat(
+        _w(1, 4), F.lit("\n\n"), _w(5, 8), F.lit("\n"), _w(9, 10)
+    )
+    payload = F.when(F.col("doc_id") % 4 == 0, fallback_payload).otherwise(
+        normal_payload
+    )
+    d = _docs_words(spark, sf_dir).select(
+        "doc_id", split_paragraphs_col(payload).alias("paras")
+    )
+    return d.select(
+        "doc_id", F.posexplode("paras").alias("seq", "paragraph")
+    ).select("doc_id", F.col("seq").cast("int").alias("seq"), "paragraph")
+
+
+def q_think_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 string form: drop everything before the last </think>."""
+    payload = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("chain of thought...</think>"), F.col("text")),
+    ).otherwise(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", strip_think(payload).alias("out_text")
+    )
+
+
+def q_json_key_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: corrupted-key regex repair."""
+    corrupt = F.concat(
+        F.lit('{"y1:'),
+        (F.col("n_chars") % 997).cast("string"),
+        F.lit(',"x2":5}'),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", fix_corrupted_keys(corrupt).alias("fixed")
+    )
+
+
+def q_trailing_comma_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/T8 regex step: strip trailing commas before } and ]."""
+    corrupt = F.concat(
+        F.lit('[{"a":'),
+        (F.col("n_chars") % 31).cast("string"),
+        F.lit(', },]'),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", strip_trailing_commas(corrupt).alias("fixed")
+    )
+
+
+def q_extract_json_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: greedy brace-block extraction from prose-wrapped JSON."""
+    payload = F.concat(
+        F.lit("The answer is {\"v\":"),
+        (F.col("n_chars") % 113).cast("string"),
+        F.lit("} hope that helps!"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", extract_json_block(payload).alias("block")
+    )
+
+
+# --------------------------------------------------- geometry ops (G-series)
+def q_paragraph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: distribute paragraphs evenly down an OCR region.
+
+    Region: l = 10*(doc_id%3), t = 20, r = l+600, b = t+300.  Paragraphs are
+    the q_paragraph_split output, so N is 2 or 3 per document.
+    """
+    paras = q_paragraph_split(spark, sf_dir)
+    n = Window.partitionBy("doc_id")
+    l = (F.col("doc_id") % 3).cast("double") * 10.0
+    slot = F.lit(300.0) / F.count("*").over(n).cast("double")
+    return paras.select(
+        "doc_id",
+        F.col("seq").alias("idx"),
+        F.col("paragraph").alias("cell_text"),
+        F.round(l, 6).alias("l"),
+        F.round(F.lit(20.0) + F.col("seq") * slot, 6).alias("t"),
+        F.round(l + 600.0, 6).alias("r"),
+        F.round(F.lit(20.0) + (F.col("seq") + 1) * slot, 6).alias("b"),
+    )
+
+
+def q_bbox_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: 0-1000 data-bbox -> page coordinates inside an OCR region.
+
+    bbox is a deterministic function of doc_id; region = full synthetic page
+    of width 1000+240*(doc_id%3), height 1400.
+    """
+    d = _docs(spark, sf_dir)
+    x1 = (F.col("doc_id") * 37 % 500).cast("double")
+    y1 = (F.col("doc_id") * 53 % 500).cast("double")
+    x2 = x1 + 100.0 + (F.col("doc_id") % 7).cast("double") * 20.0
+    y2 = y1 + 80.0
+    width = F.lit(1000.0) + (F.col("doc_id") % 3).cast("double") * 240.0
+    height = F.lit(1400.0)
+    return d.select(
+        "doc_id",
+        F.round(x1 / 1000.0 * width, 6).alias("l"),
+        F.round(y1 / 1000.0 * height, 6).alias("t"),
+        F.round(x2 / 1000.0 * width, 6).alias("r"),
+        F.round(y2 / 1000.0 * height, 6).alias("b"),
+    )
+
+
+def q_otsl_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 partial: row-major OTSL skeleton from (rows, cols)."""
+    rows = (F.col("doc_id") % 3 + 1).cast("int")
+    cols = (F.col("doc_id") % 2 + 2).cast("int")
+    row_str = F.concat(F.lit("cell"), F.expr("repeat(' l cell', doc_id % 2 + 1)"))
+    otsl = F.concat(
+        row_str,
+        F.when(rows > 1, F.expr(
+            "repeat(concat(' nl ', concat('cell', repeat(' l cell', doc_id % 2 + 1))), doc_id % 3)"
+        )).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", rows.alias("n_rows"), cols.alias("n_cols"), otsl.alias("otsl")
+    )
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: deterministic y-band/x reading-order sort.
+
+    4 synthetic elements per document with pseudo-random bboxes; rank =
+    row_number over (band = floor(t/24), l, slot) — the stable total order
+    SURVEY.md §7(c) requires.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("slot_no")
+    )
+    t = ((F.col("doc_id") + F.col("slot_no") * 37) % 50).cast("double") * 17.0
+    l = ((F.col("doc_id") + F.col("slot_no") * 61) % 40).cast("double") * 20.0
+    band = F.floor(t / 24.0)
+    w = Window.partitionBy("doc_id").orderBy(band, l, F.col("slot_no"))
+    return d.select(
+        "doc_id",
+        F.col("slot_no").cast("int").alias("slot_no"),
+        F.round(t, 6).alias("t"),
+        F.round(l, 6).alias("l"),
+        (F.row_number().over(w) - 1).cast("int").alias("rank"),
+    )
+
+
+def q_confidence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: per-page mean cluster confidence (layout_score analog)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("cluster_id")
+    )
+    conf = ((F.col("doc_id") + F.col("cluster_id") * 3) % 10).cast("double") / 10.0
+    return (
+        d.select("doc_id", conf.alias("confidence"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("confidence"), 6).alias("layout_score"))
+    )
+
+
+# --------------------------------------------- training-data ops (SURVEY+ )
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs_words(spark, sf_dir).select(
+        "doc_id", F.size("ws").cast("int").alias("n_tokens")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the casefolded, whitespace-normalized text."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.lower(collapse_ws(F.trim(F.col("text"))))).alias("fp")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-group on normalized text, keep min doc_id."""
+    fp = F.md5(F.lower(collapse_ws(F.trim(F.col("text")))))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").cast("long").alias("n_dups"))
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: token count, mean token length, stopword ratio."""
+    d = _docs_words(spark, sf_dir)
+    n = F.size("ws").cast("double")
+    total_len = F.aggregate(
+        F.col("ws"), F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    stop_hits = F.size(
+        F.filter(F.col("ws"), lambda w: w.isin(*_STOPWORDS))
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.round(total_len / n, 6).alias("mean_token_len"),
+        F.round(stop_hits / n, 6).alias("stopword_ratio"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic tie-break en>es>de)."""
+    d = _docs_words(spark, sf_dir)
+
+    def marker_hits(markers):
+        # NB: the inner lambda must take exactly one parameter — PySpark
+        # treats two-parameter lambdas as (element, index)
+        return F.size(F.filter(F.col("ws"), lambda w: w.isin(*markers)))
+
+    hits = {lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    predicted = (
+        F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), "en")
+        .when(hits["es"] >= hits["de"], "es")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].cast("int").alias("en_hits"),
+        hits["es"].cast("int").alias("es_hits"),
+        hits["de"].cast("int").alias("de_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 neighbours of vec_id 0 (broadcast query)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    sim = dot(F.col("v"), F.col("q")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("q"), F.col("q")))
+    )
+    ranked = joined.select("vec_id", sim.alias("sim"))
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "vec_id",
+            F.round("sim", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+QUERIES = {
+    "extract_interleaved_spans": q_extract_interleaved_spans,
+    "boilerplate_strip": q_boilerplate_strip,
+    "paragraph_split": q_paragraph_split,
+    "think_strip": q_think_strip,
+    "json_key_repair": q_json_key_repair,
+    "trailing_comma_strip": q_trailing_comma_strip,
+    "extract_json_block": q_extract_json_block,
+    "paragraph_cells": q_paragraph_cells,
+    "bbox_rescale": q_bbox_rescale,
+    "otsl_skeleton": q_otsl_skeleton,
+    "reading_order": q_reading_order,
+    "confidence_agg": q_confidence_agg,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "knn_bruteforce": q_knn_bruteforce,
+}
