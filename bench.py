@@ -66,9 +66,10 @@ def materialize():
     # Catalyst prune the payload/window work and understate the job
     df.write.format("noop").mode("overwrite").save()
 materialize()  # warm: JVM/codegen/Arrow init out of the measurement
-# the sandbox host is noisy (shared CPUs) — min of 3 is the robust estimate
+# the sandbox host is noisy (shared CPUs) — min of k is the robust estimate
+reps = int(sys.argv[3])
 times = []
-for _ in range(3):
+for _ in range(reps):
     t0 = time.time()
     materialize()
     times.append(time.time() - t0)
@@ -78,8 +79,19 @@ spark.stop()
 """
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "256"))
+def run_scaling(
+    sf_dir: str,
+    lo: int = 8,
+    hi: int = 32,
+    rep: int | None = None,
+    reps: int = 4,
+    decode_cost_us: int = 0,
+) -> dict:
+    if rep is None:
+        rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "256"))
+    child_env = dict(os.environ)
+    if decode_cost_us:
+        child_env["SPARK_GRAFT_DECODE_COST_US"] = str(decode_cost_us)
     out = {}
     for cores in (lo, hi):
         snippet = _CHILD_SNIPPET.format(repo=REPO_ROOT, sf=sf_dir)
@@ -87,14 +99,15 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         # small config cannot borrow idle cores for GC/shuffle/Arrow threads —
         # this is what makes local[8] vs local[32] an honest stand-in for
         # N vs 4N executors
-        cmd = [sys.executable, "-c", snippet, str(cores), str(rep)]
+        cmd = [sys.executable, "-c", snippet, str(cores), str(rep), str(reps)]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         proc = subprocess.run(
             cmd,
             capture_output=True,
             text=True,
-            timeout=900,
+            timeout=1200,
+            env=child_env,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if not line:
@@ -105,6 +118,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     tput_hi = n_docs / out[hi]["sec"]
     return {
         "replication": rep,
+        "decode_cost_us": decode_cost_us,
         "n_docs": n_docs,
         "n_cores": lo,
         "docs_per_sec_n": round(tput_lo, 2),
@@ -112,6 +126,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "docs_per_sec_4n": round(tput_hi, 2),
         "sec_n": round(out[lo]["sec"], 3),
         "sec_4n": round(out[hi]["sec"], 3),
+        "all_secs_n": out[lo]["all_secs"],
+        "all_secs_4n": out[hi]["all_secs"],
         "efficiency": round((tput_hi / tput_lo) / (hi / lo), 3),
     }
 
@@ -157,7 +173,15 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        result["scaling"] = run_scaling(SF_DIR)
+        # stub-decode regime: parse kernels only (~30µs/page) — the WORST
+        # case for scaling because shuffle/overhead is a large fraction
+        result["scaling"] = run_scaling(SF_DIR, rep=256, reps=4)
+        # inference regime: 1ms/page simulated model latency (still 100-1000x
+        # cheaper than the reference's real VLM) — the map stage dominates,
+        # which is the regime the north-rule's GPU deployment actually runs in
+        result["scaling_inference_sim"] = run_scaling(
+            SF_DIR, rep=24, reps=3, decode_cost_us=1000
+        )
 
     print(json.dumps(result))
 

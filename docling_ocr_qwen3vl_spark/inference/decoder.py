@@ -23,7 +23,7 @@ the whole engine testable at small scale and swappable onto GPUs at 100 TB.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import time
 
 from ..semantics.geometry import build_clusters, build_table
 from ..semantics.html_parse import parse_qwenvl_html
@@ -39,18 +39,29 @@ MEDIA = "media_ref"
 # (G13: figures/tables interleave as media, README.md:271-279).
 MEDIA_LABELS = frozenset({"picture", "table"})
 
-
-@dataclass(slots=True)
-class DecodedElement:
-    seq: int
-    kind: str  # 'text' | 'media_ref'
-    text: str
+# A decoded element is a plain (seq, kind, text) tuple — the decode stage is
+# the engine's hottest Python loop, and object/dataclass churn measurably
+# dominated kernel time in profiling.
+DecodedElement = tuple  # (seq: int, kind: str, text: str)
 
 
 class DeterministicDecoder:
-    """Reference-parity structural decode of the four payload kinds."""
+    """Reference-parity structural decode of the four payload kinds.
 
-    def decode_page(self, payload_kind: str, payload: str) -> list[DecodedElement]:
+    ``simulate_cost_us`` busy-spins per page to emulate a real inference
+    backend's latency (a GPU VLM costs 10^5-10^6 µs/page; the structural
+    stub costs ~30 µs).  Used by the bench's inference-regime scaling run;
+    0 (default) everywhere else.
+    """
+
+    def __init__(self, simulate_cost_us: int = 0):
+        self.simulate_cost_us = simulate_cost_us
+
+    def decode_page(self, payload_kind: str, payload: str) -> list[tuple]:
+        if self.simulate_cost_us:
+            deadline = time.perf_counter() + self.simulate_cost_us / 1e6
+            while time.perf_counter() < deadline:
+                pass
         if payload is None:
             return []
         if payload_kind == "qwenvl_html":
@@ -64,37 +75,35 @@ class DeterministicDecoder:
         # unknown payload kinds pass through as a single text span when
         # non-blank (never fail a task on bad input)
         stripped = payload.strip()
-        return [DecodedElement(0, TEXT, stripped)] if stripped else []
+        return [(0, TEXT, stripped)] if stripped else []
 
     @staticmethod
-    def _decode_html(payload: str) -> list[DecodedElement]:
-        out: list[DecodedElement] = []
+    def _decode_html(payload: str) -> list[tuple]:
+        out: list[tuple] = []
         for el in parse_qwenvl_html(payload, keep_empty_media=True):
             if el.element_type == "figure":
-                out.append(DecodedElement(len(out), MEDIA, ""))
+                out.append((len(out), MEDIA, ""))
             else:
-                out.append(DecodedElement(len(out), TEXT, el.text))
+                out.append((len(out), TEXT, el.text))
         return out
 
     @staticmethod
-    def _decode_plain(payload: str) -> list[DecodedElement]:
-        return [
-            DecodedElement(i, TEXT, p) for i, p in enumerate(split_paragraphs(payload))
-        ]
+    def _decode_plain(payload: str) -> list[tuple]:
+        return [(i, TEXT, p) for i, p in enumerate(split_paragraphs(payload))]
 
     @staticmethod
-    def _decode_layout(payload: str) -> list[DecodedElement]:
+    def _decode_layout(payload: str) -> list[tuple]:
         clusters = build_clusters(parse_array(payload), 1000.0, 1000.0)
-        out: list[DecodedElement] = []
+        out: list[tuple] = []
         for c in clusters:
             if c["label"] in MEDIA_LABELS:
-                out.append(DecodedElement(len(out), MEDIA, ""))
+                out.append((len(out), MEDIA, ""))
         return out
 
     @staticmethod
-    def _decode_table(payload: str) -> list[DecodedElement]:
+    def _decode_table(payload: str) -> list[tuple]:
         table = build_table(parse_object(payload), (0.0, 0.0, 1000.0, 1000.0), (1.0, 1.0))
-        return [DecodedElement(0, MEDIA, "")] if table is not None else []
+        return [(0, MEDIA, "")] if table is not None else []
 
 
 class TorchQwenDecoder:
@@ -123,10 +132,13 @@ class TorchQwenDecoder:
         )  # pragma: no cover
 
 
-def get_decoder(backend: str = "deterministic"):
+def get_decoder(backend: str = "deterministic", simulate_cost_us: int = 0):
     """Per-worker singleton decoder (one instance per Python worker)."""
     if backend == "deterministic":
-        return get_or_create(("decoder", backend), DeterministicDecoder)
+        return get_or_create(
+            ("decoder", backend, simulate_cost_us),
+            lambda: DeterministicDecoder(simulate_cost_us),
+        )
     if backend == "qwen3vl":
         return get_or_create(
             ("decoder", backend), lambda: TorchQwenDecoder("Qwen/Qwen3-VL-8B-Instruct")

@@ -44,9 +44,12 @@ DECODED_SCHEMA = StructType(
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # worker-side import: the singleton registry lives in the Python worker
+    import os
+
     from docling_ocr_qwen3vl_spark.inference.decoder import get_decoder
 
-    decoder = get_decoder("deterministic")
+    cost_us = int(os.environ.get("SPARK_GRAFT_DECODE_COST_US", "0"))
+    decoder = get_decoder("deterministic", simulate_cost_us=cost_us)
     decode_page = decoder.decode_page
     for batch in batches:
         doc_ids: list[str] = []
@@ -57,12 +60,12 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, page_no, payload_kind, payload in zip(
             batch["doc_id"], batch["page_no"], batch["payload_kind"], batch["payload"]
         ):
-            for el in decode_page(payload_kind, payload):
+            for seq, kind, text in decode_page(payload_kind, payload):
                 doc_ids.append(doc_id)
                 page_nos.append(page_no)
-                seqs.append(el.seq)
-                kinds.append(el.kind)
-                texts.append(el.text)
+                seqs.append(seq)
+                kinds.append(kind)
+                texts.append(text)
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(doc_ids, dtype="object"),
