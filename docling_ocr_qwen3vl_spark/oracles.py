@@ -300,6 +300,179 @@ SELECT vec_id, round(sim, 6) AS cosine, rank
 FROM ranked WHERE rank <= 20
 """
 
+# Shared fragment: synthetic pages with kind index (see sources/synthetic.py).
+_PAGES_CTE = r"""
+pages AS (
+  SELECT doc_id, doc_num, ws,
+         unnest(generate_series(0, CAST(doc_num % 3 AS BIGINT))) AS page_no
+  FROM docs
+),
+kinds AS (
+  SELECT *, ((doc_num + page_no) % 4) AS kind_idx,
+         1000.0 + CAST(doc_num % 3 AS DOUBLE) * 240.0 AS pw,
+         1400.0 + CAST(page_no % 2 AS DOUBLE) * 100.0 AS ph
+  FROM pages
+)
+"""
+
+HTML_ELEMENTS_SQL = (
+    "WITH " + _WORDS_CTE + "," + _PAGES_CTE + r""",
+els AS (
+  SELECT doc_id, CAST(page_no AS INTEGER) AS page_no, s.slot_no AS seq,
+    CASE s.slot_no WHEN 0 THEN 'h1' ELSE 'p' END AS tag,
+    CASE s.slot_no WHEN 0 THEN 'heading' ELSE 'paragraph' END AS element_type,
+    CASE s.slot_no
+      WHEN 0 THEN array_to_string(ws[1:2], ' ')
+      WHEN 1 THEN array_to_string(ws[3:8], ' ')
+      ELSE array_to_string(ws[9:10], ' ') END AS text,
+    CASE s.slot_no WHEN 0 THEN 100 ELSE 100 END AS x1,
+    CASE s.slot_no WHEN 0 THEN 40 WHEN 1 THEN 120 ELSE 820 END AS y1,
+    CASE s.slot_no WHEN 0 THEN 900 ELSE 900 END AS x2,
+    CASE s.slot_no WHEN 0 THEN 90 WHEN 1 THEN 400 ELSE 980 END AS y2
+  FROM kinds
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS slot_no) s
+  WHERE kind_idx = 0
+)
+SELECT doc_id, page_no, CAST(seq AS INTEGER) AS seq, tag, element_type, text,
+       CAST(x1 AS INTEGER) AS x1, CAST(y1 AS INTEGER) AS y1,
+       CAST(x2 AS INTEGER) AS x2, CAST(y2 AS INTEGER) AS y2
+FROM els
+"""
+)
+
+ELEMENT_CELLS_SQL = (
+    "WITH " + _WORDS_CTE + "," + _PAGES_CTE + r""",
+els AS (
+  SELECT doc_id, CAST(page_no AS INTEGER) AS page_no, s.slot_no AS seq, pw, ph,
+    CASE s.slot_no
+      WHEN 0 THEN array_to_string(ws[1:2], ' ')
+      WHEN 1 THEN array_to_string(ws[3:8], ' ')
+      ELSE array_to_string(ws[9:10], ' ') END AS text,
+    100 AS x1,
+    CASE s.slot_no WHEN 0 THEN 40 WHEN 1 THEN 120 ELSE 820 END AS y1,
+    900 AS x2,
+    CASE s.slot_no WHEN 0 THEN 90 WHEN 1 THEN 400 ELSE 980 END AS y2
+  FROM kinds
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS slot_no) s
+  WHERE kind_idx = 0
+)
+SELECT doc_id, page_no, CAST(seq AS INTEGER) AS cell_index, text AS cell_text,
+  round(x1 * pw / 1000.0, 6) AS l,
+  round(y1 * ph / 1000.0, 6) AS t,
+  round(x2 * pw / 1000.0, 6) AS r,
+  round(y2 * ph / 1000.0, 6) AS b
+FROM els
+"""
+)
+
+LAYOUT_CLUSTERS_SQL = (
+    "WITH " + _WORDS_CTE + "," + _PAGES_CTE + r""",
+cl AS (
+  SELECT doc_id, CAST(page_no AS INTEGER) AS page_no, s.slot_no AS cluster_id,
+    pw, ph,
+    CASE s.slot_no WHEN 0 THEN 'title' WHEN 1 THEN 'text'
+                   WHEN 2 THEN 'picture' ELSE 'table' END AS label,
+    CASE s.slot_no WHEN 2 THEN 100 ELSE 100 END AS x1,
+    CASE s.slot_no WHEN 0 THEN 40
+                   WHEN 1 THEN 120 + CAST(doc_num % 7 AS INTEGER) * 10
+                   WHEN 2 THEN 420 ELSE 820 END AS y1,
+    CASE s.slot_no WHEN 2 THEN 500 ELSE 900 END AS x2,
+    CASE s.slot_no WHEN 0 THEN 90 WHEN 1 THEN 400 WHEN 2 THEN 800 ELSE 980 END AS y2
+  FROM kinds
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS slot_no) s
+  WHERE kind_idx = 2
+)
+SELECT doc_id, page_no, CAST(cluster_id AS INTEGER) AS cluster_id, label,
+  CAST(0.9 AS DOUBLE) AS confidence,
+  round(x1 / 1000.0 * pw, 6) AS l,
+  round(y1 / 1000.0 * ph, 6) AS t,
+  round(x2 / 1000.0 * pw, 6) AS r,
+  round(y2 / 1000.0 * ph, 6) AS b
+FROM cl
+"""
+)
+
+TABLE_CELLS_SQL = (
+    "WITH " + _WORDS_CTE + "," + _PAGES_CTE + r""",
+tbl AS (
+  SELECT doc_id, CAST(page_no AS INTEGER) AS page_no, ws,
+    CAST(doc_num % 3 + 1 AS INTEGER) AS n_rows,
+    CAST(page_no % 2 + 2 AS INTEGER) AS n_cols
+  FROM kinds
+  WHERE kind_idx = 3 AND doc_num % 11 <> 0
+),
+named AS (
+  SELECT *, 'cell' || repeat(' l cell', n_cols - 1) AS row_str FROM tbl
+)
+SELECT doc_id, page_no, n_rows, n_cols,
+  row_str || repeat(' nl ' || row_str, n_rows - 1) AS otsl,
+  CAST(0 AS INTEGER) AS cell_row,
+  CAST(s.c AS INTEGER) AS cell_col,
+  CAST(1 AS INTEGER) AS row_span,
+  CAST(1 AS INTEGER) AS col_span,
+  CAST(1 AS INTEGER) AS end_row,
+  CAST(s.c + 1 AS INTEGER) AS end_col,
+  (CASE s.c WHEN 0 THEN ws[1] ELSE ws[2] END) AS cell_text,
+  (s.c = 0) AS col_header,
+  CAST(CASE s.c WHEN 0 THEN 0.0 ELSE 500.0 END AS DOUBLE) AS cx1,
+  CAST(0.0 AS DOUBLE) AS cy1,
+  CAST(CASE s.c WHEN 0 THEN 500.0 ELSE 1000.0 END AS DOUBLE) AS cx2,
+  CAST(100.0 AS DOUBLE) AS cy2
+FROM named
+CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS c) s
+"""
+)
+
+PICTURE_CLASSIFY_SQL = """
+WITH base AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
+SELECT doc_id, 'chart' AS class_name, CAST(0.8 AS DOUBLE) AS confidence FROM base WHERE m = 0
+UNION ALL
+SELECT doc_id, 'other', CAST(0.2 AS DOUBLE) FROM base WHERE m = 0
+UNION ALL
+SELECT doc_id, 'logo', CAST(0.5 AS DOUBLE) FROM base WHERE m = 1
+"""
+
+CODE_FORMULA_ENRICH_SQL = (
+    "WITH " + _WORDS_CTE + r"""
+SELECT CAST(doc_num AS BIGINT) AS doc_id,
+  CASE WHEN doc_num % 4 = 2 THEN 'formula' ELSE 'code' END AS elem_kind,
+  CASE doc_num % 4
+    WHEN 0 THEN 'print(' || CAST(n_chars % 97 AS VARCHAR) || ')'
+    WHEN 1 THEN 'x'
+    WHEN 2 THEN 'E=mc^2'
+    ELSE array_to_string(ws[1:2], ' ') END AS out_text,
+  CASE doc_num % 4
+    WHEN 0 THEN 'python'
+    WHEN 1 THEN 'unknown'
+    ELSE NULL END AS language
+FROM docs
+"""
+)
+
+CLUSTER_ASSIGN_SQL = """
+WITH base AS (SELECT doc_id FROM documents),
+cells AS (
+  SELECT doc_id, s.cell_index,
+    CASE s.cell_index WHEN 0 THEN 'in-c0' WHEN 1 THEN 'in-c1'
+                      WHEN 2 THEN 'orphan' ELSE 'overlap' END AS cell_text
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cell_index) s
+)
+SELECT doc_id, CAST(cell_index AS INTEGER) AS cell_index, cell_text,
+  CAST(CASE cell_index WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN -3 ELSE 0 END AS INTEGER) AS cluster_id,
+  CASE cell_index WHEN 1 THEN 'table' ELSE 'text' END AS label,
+  (cell_index = 2) AS is_orphan
+FROM cells
+"""
+
+CHECKPOINT_RESUME_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INTEGER) AS group_id
+  FROM documents
+)
+SELECT doc_id, group_id FROM g WHERE group_id NOT IN (0, 1)
+"""
+
 ORACLES = {
     "extract_interleaved_spans": EXTRACT_SPANS_SQL,
     "boilerplate_strip": BOILERPLATE_STRIP_SQL,
@@ -319,4 +492,12 @@ ORACLES = {
     "quality_score": QUALITY_SCORE_SQL,
     "lang_id": LANG_ID_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "html_elements": HTML_ELEMENTS_SQL,
+    "element_cells": ELEMENT_CELLS_SQL,
+    "layout_clusters": LAYOUT_CLUSTERS_SQL,
+    "table_cells": TABLE_CELLS_SQL,
+    "picture_classify": PICTURE_CLASSIFY_SQL,
+    "code_formula_enrich": CODE_FORMULA_ENRICH_SQL,
+    "cluster_assign": CLUSTER_ASSIGN_SQL,
+    "checkpoint_resume": CHECKPOINT_RESUME_SQL,
 }

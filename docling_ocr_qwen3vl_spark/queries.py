@@ -335,6 +335,175 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ extraction ops (batch 2)
+def _synth_pages(spark, sf_dir, kind):
+    from .sources.synthetic import synth_raw_pages
+
+    return synth_raw_pages(spark, sf_dir).filter(F.col("payload_kind") == kind)
+
+
+def q_html_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: strict reference-parity QwenVL-HTML parse (boilerplate stripped,
+    empty <img/> dropped) over the synthetic html pages."""
+    from .operators.html_elements import parse_html_elements
+
+    pages = _synth_pages(spark, sf_dir, "qwenvl_html")
+    return parse_html_elements(pages, keep_empty_media=False).select(
+        "doc_id", "page_no", "seq", "tag", "element_type", "text",
+        "x1", "y1", "x2", "y2",
+    )
+
+
+def q_element_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G3: parsed elements -> cells rescaled into the full-page OCR rect."""
+    from .operators.element_cells import elements_to_cells
+    from .operators.html_elements import parse_html_elements
+
+    pages = _synth_pages(spark, sf_dir, "qwenvl_html")
+    elements = parse_html_elements(pages, keep_empty_media=False)
+    sized = elements.join(
+        pages.select(
+            "doc_id", F.col("page_no").cast("int").alias("page_no"),
+            "page_width", "page_height",
+        ),
+        on=["doc_id", "page_no"],
+    ).select(
+        "doc_id", "page_no", F.lit(0).alias("rect_seq"), "seq", "text",
+        "x1", "y1", "x2", "y2",
+        F.lit(0.0).alias("rect_l"), F.lit(0.0).alias("rect_t"),
+        F.col("page_width").alias("rect_r"), F.col("page_height").alias("rect_b"),
+    )
+    cells = elements_to_cells(sized)
+    return cells.select(
+        "doc_id", "page_no", "cell_index", "cell_text",
+        F.round("l", 6).alias("l"), F.round("t", 6).alias("t"),
+        F.round("r", 6).alias("r"), F.round("b", 6).alias("b"),
+    )
+
+
+def q_layout_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5/T6-T10: layout JSON (with repairable corruption) -> clusters in
+    page coordinates."""
+    from .operators.layout import parse_layout_clusters
+
+    pages = _synth_pages(spark, sf_dir, "layout_json")
+    clusters = parse_layout_clusters(pages)
+    return clusters.select(
+        "doc_id", "page_no", "cluster_id", "label",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("l", 6).alias("l"), F.round("t", 6).alias("t"),
+        F.round("r", 6).alias("r"), F.round("b", 6).alias("b"),
+    )
+
+
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: table JSON (dual field names) -> cell rows + OTSL skeleton."""
+    from .operators.tables import parse_table_cells
+
+    pages = _synth_pages(spark, sf_dir, "table_json")
+    return parse_table_cells(pages).select(
+        "doc_id", "page_no", "n_rows", "n_cols", "otsl",
+        "cell_row", "cell_col", "row_span", "col_span", "end_row", "end_col",
+        "cell_text", "col_header",
+        F.round("cx1", 6).alias("cx1"), F.round("cy1", 6).alias("cy1"),
+        F.round("cx2", 6).alias("cx2"), F.round("cy2", 6).alias("cy2"),
+    )
+
+
+def q_picture_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: classifier JSON parse with per-class defaults; unparsable -> no rows."""
+    from .operators.enrichment import classify_pictures
+
+    m = F.col("doc_id") % 3
+    payload = (
+        F.when(m == 0, F.lit(
+            '{"classes":[{"class_name":"chart","confidence":0.8},{"confidence":0.2}]}'
+        ))
+        .when(m == 1, F.lit('The image shows {"classes":[{"class_name":"logo"}]} end'))
+        .otherwise(F.lit("no json here"))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", payload.alias("payload"))
+    classified = classify_pictures(d)
+    return classified.select(
+        "doc_id", F.explode("classes").alias("cls")
+    ).select(
+        "doc_id",
+        F.col("cls.class_name").alias("class_name"),
+        F.round(F.col("cls.confidence"), 6).alias("confidence"),
+    )
+
+
+def q_code_formula_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: code/formula dispatch + language mapping."""
+    from .operators.enrichment import enrich_code_formula
+
+    m = F.col("doc_id") % 4
+    kind = F.when(m == 2, F.lit("formula")).otherwise(F.lit("code"))
+    payload = (
+        F.when(m == 0, F.concat(
+            F.lit('{"is_code":true,"language":"Python","code":"print('),
+            (F.col("n_chars") % 97).cast("string"), F.lit(')"}'),
+        ))
+        .when(m == 1, F.lit('{"is_code":true,"language":"brainfudge","code":"x"}'))
+        .when(m == 2, F.lit('result: {"is_formula":true,"latex":"E=mc^2"} done'))
+        .otherwise(F.lit('{"is_code":false,"is_formula":false}'))
+    )
+    d = _docs_words(spark, sf_dir).select(
+        "doc_id", "n_chars",
+        kind.alias("elem_kind"), _w(1, 2).alias("text"), payload.alias("payload"),
+    )
+    return enrich_code_formula(d).select("doc_id", "elem_kind", "out_text", "language")
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: containment join of cells into clusters + orphan synthesis."""
+    from .operators.cluster_assign import assign_cells_to_clusters
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    c0r = 400.0 + (F.col("doc_id") % 5).cast("double") * 10.0
+    clusters = d.select(
+        "doc_id", F.lit(0).alias("page_no"),
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("cluster_id"), F.lit("text").alias("label"),
+                     F.lit(0.0).alias("l"), F.lit(0.0).alias("t"),
+                     c0r.alias("r"), F.lit(1000.0).alias("b")),
+            F.struct(F.lit(1).alias("cluster_id"), F.lit("table").alias("label"),
+                     F.lit(350.0).alias("l"), F.lit(0.0).alias("t"),
+                     F.lit(800.0).alias("r"), F.lit(1000.0).alias("b")),
+        )).alias("c"),
+    ).select("doc_id", "page_no", "c.*")
+    cells = d.select(
+        "doc_id", F.lit(0).alias("page_no"),
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("cell_index"), F.lit("in-c0").alias("cell_text"),
+                     F.lit(50.0).alias("l"), F.lit(100.0).alias("t"),
+                     F.lit(250.0).alias("r"), F.lit(200.0).alias("b")),
+            F.struct(F.lit(1).alias("cell_index"), F.lit("in-c1").alias("cell_text"),
+                     F.lit(500.0).alias("l"), F.lit(100.0).alias("t"),
+                     F.lit(700.0).alias("r"), F.lit(200.0).alias("b")),
+            F.struct(F.lit(2).alias("cell_index"), F.lit("orphan").alias("cell_text"),
+                     F.lit(820.0).alias("l"), F.lit(0.0).alias("t"),
+                     F.lit(980.0).alias("r"), F.lit(100.0).alias("b")),
+            F.struct(F.lit(3).alias("cell_index"), F.lit("overlap").alias("cell_text"),
+                     F.lit(310.0).alias("l"), F.lit(0.0).alias("t"),
+                     F.lit(390.0).alias("r"), F.lit(100.0).alias("b")),
+        )).alias("c"),
+    ).select("doc_id", "page_no", "c.*")
+    out = assign_cells_to_clusters(cells, clusters)
+    return out.select(
+        "doc_id", "cell_index", "cell_text", "cluster_id", "label", "is_orphan"
+    )
+
+
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: resume filter — input minus committed hash groups {0,1} of 8."""
+    from .plans.checkpoint import group_col, resume_filter
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    remaining = resume_filter(docs, {0, 1}, 8)
+    return remaining.select("doc_id", group_col(8).alias("group_id"))
+
+
 QUERIES = {
     "extract_interleaved_spans": q_extract_interleaved_spans,
     "boilerplate_strip": q_boilerplate_strip,
@@ -354,4 +523,12 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "knn_bruteforce": q_knn_bruteforce,
+    "html_elements": q_html_elements,
+    "element_cells": q_element_cells,
+    "layout_clusters": q_layout_clusters,
+    "table_cells": q_table_cells,
+    "picture_classify": q_picture_classify,
+    "code_formula_enrich": q_code_formula_enrich,
+    "cluster_assign": q_cluster_assign,
+    "checkpoint_resume": q_checkpoint_resume,
 }

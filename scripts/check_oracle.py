@@ -19,10 +19,14 @@ import duckdb  # noqa: E402
 
 
 def canon(value):
+    import decimal
+
     if value is None:
         return "NULL"
     if isinstance(value, bool):
         return "true" if value else "false"
+    if isinstance(value, decimal.Decimal):
+        value = float(value)
     if isinstance(value, float):
         if value == int(value) and abs(value) < 1e15:
             return str(int(value))
