@@ -1,0 +1,178 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four families, all engine-portable (every hash is md5-derived so the DuckDB
+oracle can recompute bit-identical values — no Spark-private xxhash in any
+semantic position):
+
+  * exact        — hash-groupBy on normalized text (see queries.q_dedup_exact)
+  * MinHash+LSH  — word-shingles -> k minhashes -> banded buckets ->
+                   candidate pairs via self-join on band key
+  * SimHash      — per-bit majority over shingle hashes -> 60-bit signature;
+                   near-dup pairs = small hamming distance within a top-bits
+                   block
+  * n-gram Jaccard — exact set overlap within cheap blocking keys
+
+Scale notes: every family is shuffle-bounded by its JOIN KEY design —
+LSH bands / simhash blocks / (lang, n_tokens) blocks keep candidate sets
+tiny so the quadratic step never sees the full corpus.  At 10^12 docs the
+band tables are the only shuffles and AQE handles band skew (hot bands from
+boilerplate-heavy corpora are split by the skew-join rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import words
+
+N_MINHASHES = 8
+SHINGLE_WIDTH = 3
+SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed 64-bit lane
+
+
+def portable_hash64(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — identical in Spark
+    (conv/substring) and DuckDB (('0x' || substr)::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text_col: Column, width: int = SHINGLE_WIDTH) -> Column:
+    """Overlapping word n-grams, in order (docs here always have >= width
+    words; emits a single shorter shingle otherwise via the sequence guard)."""
+    ws = words(text_col)
+    n = F.size(ws)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (width - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + k) for k in range(width)]
+        ),
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", k: int = N_MINHASHES) -> DataFrame:
+    """Append h0..h{k-1} minhash columns + two band keys (k/2-row bands).
+
+    h_j = min over shingles of md5(shingle || '#j'); band_b = md5 of the
+    concatenated half-signature.  One projection, no shuffle.
+    """
+    sh = word_shingles(F.col(text_col))
+
+    def _h(j: int):
+        # single-parameter lambda only: a `j=j` default would make PySpark
+        # treat it as an (element, index) lambda and pass the array index
+        salt = F.lit(f"#{j}")
+        return F.array_min(
+            F.transform(sh, lambda s: portable_hash64(F.concat(s, salt)))
+        )
+
+    cols = {f"h{j}": _h(j) for j in range(k)}
+    out = df.withColumns(cols)
+    half = k // 2
+    return out.withColumns(
+        {
+            "band0": F.md5(F.concat_ws(",", *[F.col(f"h{j}") for j in range(half)])),
+            "band1": F.md5(F.concat_ws(",", *[F.col(f"h{j}") for j in range(half, k)])),
+        }
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band.
+
+    Self-join per band key (equi-join -> hash shuffle on the band, never a
+    cartesian), union, distinct.  Output: (doc_a, doc_b), doc_a < doc_b.
+    """
+    pairs = None
+    for band in ("band0", "band1"):
+        left = signatures.select(F.col(id_col).alias("doc_a"), F.col(band).alias("bk"))
+        right = signatures.select(F.col(id_col).alias("doc_b"), F.col(band).alias("bk"))
+        p = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Append a ``simhash`` bigint: bit b set iff the majority of shingle
+    hashes have bit b set (strict majority, ties -> 0).  Pure expressions:
+    the per-bit popcount is a filter over the shingle-hash array."""
+    hs = F.transform(word_shingles(F.col(text_col)), lambda s: portable_hash64(s))
+    n = F.size(hs)
+    # NB: F.shiftright/shiftleft require literal shift amounts in the Python
+    # API; call_function passes the loop variable column through to the SQL
+    # builtin, which accepts expressions
+    def _bit(b):
+        return lambda h: F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1
+
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.size(F.filter(hs, _bit(b))) * 2 > n,
+            F.call_function("shiftleft", F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return df.withColumn("simhash", sim)
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs: equal top-20-bit block (cheap equi-join key), then
+    exact hamming filter via bit_count(xor).  Output (doc_a, doc_b, hamming)."""
+    block = F.shiftright(F.col("simhash"), 40)
+    left = sigs.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), block.alias("blk")
+    )
+    right = sigs.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), block.alias("blk")
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "n_chars"),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-shingle sets within blocking keys.
+
+    Blocking (equi-join on cheap attributes) bounds the quadratic step; the
+    set ops are JVM array intrinsics (array_intersect/union are distinct-
+    semantics, matching Python set math).
+    Output (doc_a, doc_b, jaccard)."""
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(word_shingles(F.col(text_col))).alias("sh"),
+    )
+    left = base.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(c) for c in block_cols],
+    )
+    right = base.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(c) for c in block_cols],
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        left.join(right, list(block_cols))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * brute-force cosine top-k — the exactness baseline (queries.q_knn_bruteforce):
+    broadcast the query vector, JVM-side zip_with/aggregate dot products,
+    one top-k window.  At 100 TB this is a full scan — correct but O(N).
+  * LSH-bucketed ANN — the scale path: random-hyperplane sign buckets
+    (integer-derived planes, engine-portable and libm-free), candidates
+    meet inside a bucket only.  Recall tunes with n_planes / multi-probe;
+    the shuffle is the bucket equi-join, never the cross product.
+  * IVF sketch: same code path with bucket := nearest-centroid id when a
+    centroid table exists; buckets here are the degenerate (hash) case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _plane_weight(j: int, k: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-500, 500), integer
+    arithmetic only (identical in every engine; no trig/libm involved):
+    w(j, k) = ((j * 2654435761 + k * 40503) % 1000) - 500."""
+    return ((F.lit(j) * F.lit(2654435761) + k * F.lit(40503)) % 1000 - 500).cast(
+        "double"
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign-bit bucket string, one char per hyperplane ('1' if projection
+    >= 0).  Projection = sum_k vec[k] * w(j, k)."""
+    idx = F.sequence(F.lit(1), F.size(vec))
+
+    def proj(j: int) -> Column:
+        return F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, k: acc + F.element_at(vec, k) * _plane_weight(j, k - 1),
+        )
+
+    return F.concat(
+        *[F.when(proj(j) >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(n_planes)]
+    )
+
+
+def assign_buckets(embeddings: DataFrame, vec_col: str = "v") -> DataFrame:
+    return embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col)))
+
+
+def bucketed_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine >= threshold that collide in an LSH bucket.
+    Output (vec_a, vec_b, cosine)."""
+    b = assign_buckets(embeddings, vec_col)
+    left = b.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

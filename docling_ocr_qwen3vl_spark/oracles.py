@@ -473,6 +473,177 @@ WITH g AS (
 SELECT doc_id, group_id FROM g WHERE group_id NOT IN (0, 1)
 """
 
+# --------------------------------------- training-data pipeline (batch 3)
+# md5-derived 60-bit hash — identical to operators.dedup.portable_hash64
+def _hx(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# word-3-gram shingles over the ws array (docs always have >= 10 words)
+_SHINGLES = (
+    "list_transform(range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+)
+
+# originals + planted near-duplicates (doc_id + 1,000,000, ' zz qq' appended)
+_MUTANT_DOCS_CTE = r"""
+docs AS (
+  SELECT doc_id AS doc_num, text, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w != '') AS ws
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zz qq', lang,
+         list_filter(regexp_split_to_array(trim(text || ' zz qq'), '\s+'), w -> w != '')
+  FROM documents
+)
+"""
+
+_H_EXPRS = ",\n    ".join(
+    f"list_min(list_transform(sh, s -> {_hx(f_expr)})) AS h{j}"
+    for j, f_expr in ((j, f"s || '#{j}'") for j in range(8))
+)
+
+_MINHASH_CORE = r"""
+sh AS (SELECT doc_num, {shingles} AS sh FROM docs),
+sigs AS (
+  SELECT doc_num AS doc_id,
+    {h_exprs}
+  FROM sh
+),
+banded AS (
+  SELECT *,
+    md5(CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR) || ',' ||
+        CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR)) AS band0,
+    md5(CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR) || ',' ||
+        CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)) AS band1
+  FROM sigs
+)
+""".format(shingles=_SHINGLES, h_exprs=_H_EXPRS)
+
+# _WORDS_CTE already exposes (doc_num, ws), which is all _MINHASH_CORE needs
+MINHASH_SIGNATURE_SQL = (
+    "WITH " + _WORDS_CTE + "," + _MINHASH_CORE + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
+       band0, band1
+FROM banded
+"""
+)
+
+LSH_DUP_PAIRS_SQL = (
+    "WITH " + _MUTANT_DOCS_CTE + "," + _MINHASH_CORE + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM (
+  SELECT a.doc_id, b.doc_id AS b_doc
+  FROM banded a JOIN banded b ON a.band0 = b.band0
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM banded a JOIN banded b ON a.band1 = b.band1
+) pr(doc_id, b_doc)
+JOIN banded a ON a.doc_id = pr.doc_id
+JOIN banded b ON b.doc_id = pr.b_doc
+WHERE pr.doc_id < pr.b_doc
+"""
+)
+
+_SIMHASH_CORE = (
+    """
+hs AS (SELECT doc_num AS doc_id, list_transform("""
+    + _SHINGLES
+    + """, s -> """
+    + _hx("s")
+    + """) AS hs FROM docs),
+sims AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 60), b ->
+      CASE WHEN len(list_filter(hs, h -> ((h >> b) & 1) = 1)) * 2 > len(hs)
+           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+      AS simhash
+  FROM hs
+)
+"""
+)
+
+SIMHASH_SQL = (
+    "WITH " + _WORDS_CTE + "," + _SIMHASH_CORE + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM sims
+"""
+)
+
+SIMHASH_PAIRS_SQL = (
+    "WITH " + _MUTANT_DOCS_CTE + "," + _SIMHASH_CORE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sims a JOIN sims b ON (a.simhash >> 40) = (b.simhash >> 40)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+)
+
+NGRAM_JACCARD_SQL = (
+    "WITH " + _MUTANT_DOCS_CTE + ",\n"
+    + "shd AS (SELECT doc_num AS doc_id, lang, list_distinct(" + _SHINGLES + ") AS sh FROM docs)"
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+        6) AS jaccard
+FROM shd a JOIN shd b ON a.lang = b.lang
+WHERE a.doc_id < b.doc_id
+  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+        6) >= 0.5
+"""
+)
+
+# integer-derived hyperplanes, identical to operators.similarity._plane_weight
+def _proj(j: int, vec: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({vec}) + 1), "
+        f"k -> {vec}[k] * CAST((({j} * 2654435761 + (k - 1) * 40503) % 1000 - 500) AS DOUBLE)))"
+    )
+
+
+def _bucket(vec: str) -> str:
+    return " || ".join(
+        f"(CASE WHEN {_proj(j, vec)} >= 0 THEN '1' ELSE '0' END)" for j in range(8)
+    )
+
+
+ANN_LSH_BUCKETS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, {_bucket('v')} AS bucket FROM e
+"""
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+),
+b AS (SELECT vec_id, v, {_bucket('v')} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+    round(
+      list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b2.v[k]))
+      / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * a.v[k])))
+         * sqrt(list_sum(list_transform(range(1, len(b2.v) + 1), k -> b2.v[k] * b2.v[k])))),
+      6) AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket
+  WHERE a.vec_id < b2.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.95
+"""
+
+MEDIA_FEATURES_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  md5(text) AS sha,
+  CAST(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS fake_width,
+  CAST(ascii(substr(text, 2, 1)) + 1 AS INTEGER) AS fake_height
+FROM documents
+"""
+
 ORACLES = {
     "extract_interleaved_spans": EXTRACT_SPANS_SQL,
     "boilerplate_strip": BOILERPLATE_STRIP_SQL,
@@ -500,4 +671,12 @@ ORACLES = {
     "code_formula_enrich": CODE_FORMULA_ENRICH_SQL,
     "cluster_assign": CLUSTER_ASSIGN_SQL,
     "checkpoint_resume": CHECKPOINT_RESUME_SQL,
+    "minhash_signature": MINHASH_SIGNATURE_SQL,
+    "lsh_dup_pairs": LSH_DUP_PAIRS_SQL,
+    "simhash": SIMHASH_SQL,
+    "simhash_pairs": SIMHASH_PAIRS_SQL,
+    "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
+    "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
+    "media_features": MEDIA_FEATURES_SQL,
 }

@@ -504,6 +504,97 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remaining.select("doc_id", group_col(8).alias("group_id"))
 
 
+# --------------------------------------- training-data pipeline (batch 3)
+def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Originals plus deterministic near-duplicates (doc_id + 1,000,000,
+    two words appended) — gives the dedup operators true positives."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    mutants = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+        "lang",
+        "n_chars",
+    )
+    return d.unionByName(mutants)
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-derived hashes) + 2 banded LSH keys."""
+    from .operators.dedup import minhash_signature
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return minhash_signature(d).select(
+        "doc_id", *[f"h{j}" for j in range(8)], "band0", "band1"
+    )
+
+
+def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over originals + planted near-dups."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    sigs = minhash_signature(_docs_with_mutants(spark, sf_dir))
+    return lsh_candidate_pairs(sigs)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document (per-bit shingle majority)."""
+    from .operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", "simhash"
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (top-20-bit block join + hamming <= 8)."""
+    from .operators.dedup import simhash, simhash_near_pairs
+
+    sigs = simhash(_docs_with_mutants(spark, sf_dir))
+    return simhash_near_pairs(sigs)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.5 within language blocks."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_mutants(spark, sf_dir), block_cols=("lang",), threshold=0.5
+    )
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane sign buckets over the embedding column."""
+    from .operators.similarity import assign_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return assign_buckets(emb).select("vec_id", "bucket")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups (>= 0.95) found via LSH bucket collision;
+    planted exact copies (vec_id + 100,000) are the true positives."""
+    from .operators.similarity import bucketed_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    both = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "v")
+    )
+    return bucketed_near_duplicates(both)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary blob column -> Arrow-batched byte-level
+    features (decode itself stubbed; see operators/multimodal.py)."""
+    from .operators.multimodal import attach_media_blob, media_features
+
+    media = attach_media_blob(_docs(spark, sf_dir))
+    return media_features(media)
+
+
 QUERIES = {
     "extract_interleaved_spans": q_extract_interleaved_spans,
     "boilerplate_strip": q_boilerplate_strip,
@@ -531,4 +622,12 @@ QUERIES = {
     "code_formula_enrich": q_code_formula_enrich,
     "cluster_assign": q_cluster_assign,
     "checkpoint_resume": q_checkpoint_resume,
+    "minhash_signature": q_minhash_signature,
+    "lsh_dup_pairs": q_lsh_dup_pairs,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "embedding_near_dup": q_embedding_near_dup,
+    "media_features": q_media_features,
 }
