@@ -1,0 +1,63 @@
+"""Structured-Streaming surface for incremental extraction.
+
+The reference is strictly batch (page-at-a-time generators; SURVEY.md §2.5
+"streaming ops: none"), and the north-rule asks for RESUMABLE BATCH, which
+``plans/checkpoint.py`` provides.  This module is the additive streaming
+surface a continuously-fed corpus needs: new document files land in a
+directory (or Kafka topic on a real cluster), and each micro-batch runs the
+IDENTICAL batch pipeline via ``foreachBatch`` — one code path, two
+execution modes, exactly-once via Spark's own streaming checkpoint.
+
+``foreachBatch`` (not a streaming-native plan) is deliberate: the decode
+stage is a mapInPandas whose per-page work is stateless, so there is no
+watermark/stateful-operator requirement — the batch plan IS the streaming
+plan, and reusing it keeps span semantics bit-identical between modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.pipeline import extract_spans
+
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def stream_documents(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream of document parquet drops."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental extraction: each micro-batch of newly-arrived documents
+    runs the batch span pipeline and appends to the output table."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = extract_spans(spark, sf_dir="", documents=batch_df)
+        spans.write.mode("append").parquet(output_dir)
+
+    writer = (
+        stream_documents(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
