@@ -39,10 +39,14 @@ MEDIA = "media_ref"
 # (G13: figures/tables interleave as media, README.md:271-279).
 MEDIA_LABELS = frozenset({"picture", "table"})
 
-# A decoded element is a plain (seq, kind, text) tuple — the decode stage is
-# the engine's hottest Python loop, and object/dataclass churn measurably
-# dominated kernel time in profiling.
-DecodedElement = tuple  # (seq: int, kind: str, text: str)
+# A decoded element is a plain (seq, kind, text, y1, x1) tuple — the decode
+# stage is the engine's hottest Python loop, and object/dataclass churn
+# measurably dominated kernel time in profiling.  (y1, x1) carry the
+# element's 0-1000 layout position for the reading-order sort (G4); elements
+# without a bbox anchor at the region origin (0, 0), exactly like the
+# reference's full-region fallback bbox (model.py:237-245), so they keep
+# their emission order relative to each other.
+DecodedElement = tuple  # (seq: int, kind: str, text: str, y1: int, x1: int)
 
 
 class DeterministicDecoder:
@@ -75,21 +79,23 @@ class DeterministicDecoder:
         # unknown payload kinds pass through as a single text span when
         # non-blank (never fail a task on bad input)
         stripped = payload.strip()
-        return [(0, TEXT, stripped)] if stripped else []
+        return [(0, TEXT, stripped, 0, 0)] if stripped else []
 
     @staticmethod
     def _decode_html(payload: str) -> list[tuple]:
         out: list[tuple] = []
         for el in parse_qwenvl_html(payload, keep_empty_media=True):
+            y1 = el.bbox[1] if el.bbox else 0
+            x1 = el.bbox[0] if el.bbox else 0
             if el.element_type == "figure":
-                out.append((len(out), MEDIA, ""))
+                out.append((len(out), MEDIA, "", y1, x1))
             else:
-                out.append((len(out), TEXT, el.text))
+                out.append((len(out), TEXT, el.text, y1, x1))
         return out
 
     @staticmethod
     def _decode_plain(payload: str) -> list[tuple]:
-        return [(i, TEXT, p) for i, p in enumerate(split_paragraphs(payload))]
+        return [(i, TEXT, p, 0, 0) for i, p in enumerate(split_paragraphs(payload))]
 
     @staticmethod
     def _decode_layout(payload: str) -> list[tuple]:
@@ -97,13 +103,13 @@ class DeterministicDecoder:
         out: list[tuple] = []
         for c in clusters:
             if c["label"] in MEDIA_LABELS:
-                out.append((len(out), MEDIA, ""))
+                out.append((len(out), MEDIA, "", int(c["t"]), int(c["l"])))
         return out
 
     @staticmethod
     def _decode_table(payload: str) -> list[tuple]:
         table = build_table(parse_object(payload), (0.0, 0.0, 1000.0, 1000.0), (1.0, 1.0))
-        return [(0, MEDIA, "")] if table is not None else []
+        return [(0, MEDIA, "", 0, 0)] if table is not None else []
 
 
 class TorchQwenDecoder:

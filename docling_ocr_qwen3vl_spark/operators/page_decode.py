@@ -38,6 +38,8 @@ DECODED_SCHEMA = StructType(
         StructField("seq", IntegerType(), False),
         StructField("kind", StringType(), False),
         StructField("text", StringType(), False),
+        StructField("y1", IntegerType(), False),
+        StructField("x1", IntegerType(), False),
     ]
 )
 
@@ -57,15 +59,19 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seqs: list[int] = []
         kinds: list[str] = []
         texts: list[str] = []
+        y1s: list[int] = []
+        x1s: list[int] = []
         for doc_id, page_no, payload_kind, payload in zip(
             batch["doc_id"], batch["page_no"], batch["payload_kind"], batch["payload"]
         ):
-            for seq, kind, text in decode_page(payload_kind, payload):
+            for seq, kind, text, y1, x1 in decode_page(payload_kind, payload):
                 doc_ids.append(doc_id)
                 page_nos.append(page_no)
                 seqs.append(seq)
                 kinds.append(kind)
                 texts.append(text)
+                y1s.append(y1)
+                x1s.append(x1)
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(doc_ids, dtype="object"),
@@ -73,6 +79,8 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "seq": pd.Series(seqs, dtype="int32"),
                 "kind": pd.Series(kinds, dtype="object"),
                 "text": pd.Series(texts, dtype="object"),
+                "y1": pd.Series(y1s, dtype="int32"),
+                "x1": pd.Series(x1s, dtype="int32"),
             }
         )
 
@@ -80,10 +88,12 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_pages(raw_pages: DataFrame) -> DataFrame:
     """raw_pages -> one row per span-element, in page order.
 
-    Output: doc_id, page_no, seq, kind, text, media_ref.
+    Output: doc_id, page_no, seq, kind, text, y1, x1, media_ref.
     ``media_ref`` is minted deterministically as media://{doc}/{page}/{seq}
     for media elements, '' for text (non-null keeps downstream set-ops and
-    the golden comparison total).
+    the golden comparison total).  (y1, x1) are the element's 0-1000 layout
+    anchor for the reading-order sort (0,0 when the payload carries no
+    geometry, preserving emission order).
     """
     decoded = raw_pages.select(
         "doc_id", F.col("page_no").cast("int").alias("page_no"), "payload_kind", "payload"

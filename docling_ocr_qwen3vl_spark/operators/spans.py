@@ -25,8 +25,17 @@ from pyspark.sql import functions as F
 
 
 def number_spans(elements: DataFrame) -> DataFrame:
-    """Assign document-wide offsets by (page_no, seq) reading order."""
-    w = Window.partitionBy("doc_id").orderBy("page_no", "seq")
+    """Assign document-wide offsets in reading order.
+
+    Order: page, then the G4 geometric heuristic over the elements' 0-1000
+    layout anchors — y-band (24 units), then x, then emission seq as the
+    stable tiebreak (SURVEY.md §7(c): the order must be total and
+    deterministic).  Payload kinds without geometry anchor at (0,0), so
+    their elements keep emission order; VLM-HTML pages whose elements
+    arrive out of layout order are re-sorted into reading order.
+    """
+    band = F.floor(F.col("y1") / F.lit(24))
+    w = Window.partitionBy("doc_id").orderBy("page_no", band, "x1", "seq")
     return elements.select(
         "doc_id",
         (F.row_number().over(w) - 1).cast("int").alias("offset"),

@@ -76,14 +76,34 @@ RAW_PAGES = [
         page_width=1000.0,
         page_height=1400.0,
     ),
+    # doc E: elements EMITTED out of layout order — the reading-order sort
+    # (y-band/x heuristic, FIXTURES.md §2) must re-sequence them
+    Row(
+        doc_id="E",
+        page_no=0,
+        payload_kind="qwenvl_html",
+        payload=(
+            '<p data-bbox="100 820 900 980">bottom para</p>'
+            '<h1 data-bbox="100 40 900 90">Top Title</h1>'
+            '<p data-bbox="500 300 900 400">right mid</p>'
+            '<p data-bbox="100 310 450 400">left mid</p>'
+        ),
+        page_width=1000.0,
+        page_height=1400.0,
+    ),
 ]
 
 GOLDEN = {
+    # doc A page 0: the bbox-less trailing para anchors at the region origin
+    # (reference fallback = full-region bbox, model.py:237-245), so the
+    # reading-order sort places it in band 0 at x=0, BEFORE the h1 at x=10.
+    # media_ref ids carry the EMISSION seq (img was element 2), stable under
+    # re-ordering.
     "A": [
+        ("text", "trailing para", ""),
         ("text", "Title Here", ""),
         ("text", "item one", ""),
         ("media_ref", "", "media://A/0/2"),
-        ("text", "trailing para", ""),
         ("text", "Para one.", ""),
         ("text", "Para two.", ""),
     ],
@@ -96,6 +116,14 @@ GOLDEN = {
         ("text", "L1.", ""),
         ("text", "L2.", ""),
         ("text", "L3.", ""),
+    ],
+    # doc E: emitted bottom/top/right/left -> read top, left-mid, right-mid
+    # (same 24-unit y-band, x breaks the tie), bottom
+    "E": [
+        ("text", "Top Title", ""),
+        ("text", "left mid", ""),
+        ("text", "right mid", ""),
+        ("text", "bottom para", ""),
     ],
 }
 
