@@ -644,6 +644,93 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM documents
 """
 
+# ----------------------------------------------- parity long-tail (batch 4)
+PICTURE_DESCRIBE_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(0 AS INTEGER) AS elem_seq,
+  'desc:' || md5(text) AS description
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+REPO_ID_NORMALIZE_SQL = """
+SELECT doc_id,
+  'owner' || CAST(doc_id % 7 AS VARCHAR) || '/repo' || CAST(doc_id % 5 AS VARCHAR) AS repo_id
+FROM documents
+"""
+
+ELEMENTS_TO_TEXT_SQL = (
+    "WITH " + _WORDS_CTE + """
+SELECT CAST(doc_num AS BIGINT) AS doc_id,
+  array_to_string(ws[1:2], ' ') || chr(10) || chr(10) ||
+  array_to_string(ws[3:8], ' ') || chr(10) || chr(10) ||
+  array_to_string(ws[9:10], ' ') AS plain_text
+FROM docs
+"""
+)
+
+OCR_RECT_FILTER_SQL = """
+WITH rects AS (
+  SELECT doc_id, s.rect_seq,
+    CAST(doc_id % 100 AS DOUBLE) AS l,
+    CAST(doc_id % 50 AS DOUBLE) AS t
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS rect_seq) s
+  WHERE s.rect_seq <> 1 AND NOT (s.rect_seq = 2 AND doc_id % 3 = 0)
+)
+SELECT doc_id, CAST(rect_seq AS INTEGER) AS rect_seq,
+  l, t, l + 200.0 AS r, t + 100.0 AS b
+FROM rects
+"""
+
+TABLE_CLUSTER_FILTER_SQL = (
+    "WITH " + _WORDS_CTE + "," + _PAGES_CTE + """
+SELECT doc_id, CAST(page_no AS INTEGER) AS page_no,
+  CAST(3 AS INTEGER) AS cluster_id,
+  round(100 / 1000.0 * pw, 6) AS l,
+  round(820 / 1000.0 * ph, 6) AS t,
+  round(900 / 1000.0 * pw, 6) AS r,
+  round(980 / 1000.0 * ph, 6) AS b
+FROM kinds WHERE kind_idx = 2
+"""
+)
+
+# --------------------------------------------- relational demos (batch 4)
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4)
+       AS DOUBLE) AS sum_disc_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+TOP_CUSTOMERS_SQL = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c.c_custkey, c.c_name,
+    CAST(round(r.rev_dec, 4) AS DOUBLE) AS revenue,
+    CAST(row_number() OVER (ORDER BY r.rev_dec DESC, c.c_custkey) AS INTEGER) AS rank
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+)
+SELECT c_custkey, c_name, revenue, rank FROM ranked WHERE rank <= 25
+"""
+
+EVENTS_SESSIONIZE_SQL = """
+SELECT user_id, event_id,
+  CAST(row_number() OVER w - 1 AS INTEGER) AS event_idx,
+  round(sum(value) OVER w, 4) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
 ORACLES = {
     "extract_interleaved_spans": EXTRACT_SPANS_SQL,
     "boilerplate_strip": BOILERPLATE_STRIP_SQL,
@@ -679,4 +766,12 @@ ORACLES = {
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
+    "picture_describe": PICTURE_DESCRIBE_SQL,
+    "repo_id_normalize": REPO_ID_NORMALIZE_SQL,
+    "elements_to_text": ELEMENTS_TO_TEXT_SQL,
+    "ocr_rect_filter": OCR_RECT_FILTER_SQL,
+    "table_cluster_filter": TABLE_CLUSTER_FILTER_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "top_customers": TOP_CUSTOMERS_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
 }

@@ -595,6 +595,152 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media)
 
 
+# ----------------------------------------------- parity long-tail (batch 4)
+def q_picture_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: per-picture description via the batched decoder path; the
+    sandbox decoder is a deterministic stub (description = digest of the
+    media bytes), order preserved by (doc_id, elem_seq) keys."""
+    from .operators.multimodal import attach_media_blob
+
+    media = attach_media_blob(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "image"
+    )
+    return media.select(
+        "doc_id",
+        F.lit(0).alias("elem_seq"),
+        F.concat(F.lit("desc:"), F.md5(F.col("blob"))).alias("description"),
+    )
+
+
+def q_repo_id_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: HF-cache dir path models--owner--repo -> owner/repo."""
+    cache_path = F.concat(
+        F.lit("models--owner"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("--repo"), (F.col("doc_id") % 5).cast("string"),
+    )
+    normalized = F.regexp_replace(
+        F.regexp_extract(cache_path, r"^models--(.+)$", 1), "--", "/"
+    )
+    return _docs(spark, sf_dir).select("doc_id", normalized.alias("repo_id"))
+
+
+def q_elements_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: element texts -> plain text joined with blank lines (blank
+    elements skipped)."""
+    from .functions.text_fns import join_paragraphs
+
+    texts = F.array(_w(1, 2), F.lit("   "), _w(3, 8), F.lit(""), _w(9, 10))
+    return _docs_words(spark, sf_dir).select(
+        "doc_id", join_paragraphs(texts).alias("plain_text")
+    )
+
+
+def q_ocr_rect_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: degenerate OCR-rect guard — zero-width/height regions dropped."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("rect_seq")
+    )
+    l = (F.col("doc_id") % 100).cast("double")
+    t = (F.col("doc_id") % 50).cast("double")
+    # rect 1 is degenerate (zero width); rect 2 zero height for doc%3==0
+    r = F.when(F.col("rect_seq") == 1, l).otherwise(l + 200.0)
+    b = F.when(
+        (F.col("rect_seq") == 2) & (F.col("doc_id") % 3 == 0), t
+    ).otherwise(t + 100.0)
+    rects = d.select(
+        "doc_id", F.col("rect_seq").cast("int").alias("rect_seq"),
+        l.alias("l"), t.alias("t"), r.alias("r"), b.alias("b"),
+    )
+    return rects.filter((F.col("r") - F.col("l") > 0) & (F.col("b") - F.col("t") > 0))
+
+
+def q_table_cluster_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: keep only TABLE-labelled layout clusters (crop targets)."""
+    from .operators.layout import parse_layout_clusters
+
+    pages = _synth_pages(spark, sf_dir, "layout_json")
+    clusters = parse_layout_clusters(pages)
+    return clusters.filter(F.col("label") == "table").select(
+        "doc_id", "page_no", "cluster_id",
+        F.round("l", 6).alias("l"), F.round("t", 6).alias("t"),
+        F.round("r", 6).alias("r"), F.round("b", 6).alias("b"),
+    )
+
+
+# ------------------------------------- relational machinery demos (batch 4)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style grouped aggregate over lineitem (partial-agg path).
+
+    Money math runs in DECIMAL so the sums are EXACT — double sums depend
+    on partition addition order and would value-hash-mismatch any oracle.
+    Final columns cast back to double for a stable comparison type.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+    qty = F.col("l_quantity").cast(dec)
+    price = F.col("l_extendedprice").cast(dec)
+    disc = F.col("l_discount").cast(dec)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 4).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1).cast(dec) - disc)), 4)
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc_raw"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            F.round("avg_disc_raw", 6).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + grouped top-k: revenue per customer via orders, top 25."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec")
+    )
+    joined = rev.join(
+        F.broadcast(customer.select("c_custkey", "c_name")),
+        rev.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("rev_dec", 4).cast("double").alias("revenue"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window machinery over the events stream table: per-user running
+    value sum + event index in time order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.row_number().over(w) - 1).cast("int").alias("event_idx"),
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
 QUERIES = {
     "extract_interleaved_spans": q_extract_interleaved_spans,
     "boilerplate_strip": q_boilerplate_strip,
@@ -630,4 +776,12 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
+    "picture_describe": q_picture_describe,
+    "repo_id_normalize": q_repo_id_normalize,
+    "elements_to_text": q_elements_to_text,
+    "ocr_rect_filter": q_ocr_rect_filter,
+    "table_cluster_filter": q_table_cluster_filter,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_sessionize": q_events_sessionize,
 }
