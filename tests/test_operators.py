@@ -1,0 +1,143 @@
+"""Focused Spark-level tests for the batch-2/3 operators (the DuckDB oracle
+covers them at corpus scale; these pin the tricky behaviors with tiny,
+readable inputs so `python -m pytest -x -q` alone is a meaningful gate)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from docling_ocr_qwen3vl_spark.operators.cluster_assign import assign_cells_to_clusters
+from docling_ocr_qwen3vl_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from docling_ocr_qwen3vl_spark.operators.element_cells import elements_to_cells
+from docling_ocr_qwen3vl_spark.operators.enrichment import (
+    classify_pictures,
+    enrich_code_formula,
+)
+from docling_ocr_qwen3vl_spark.operators.similarity import bucketed_near_duplicates
+from docling_ocr_qwen3vl_spark.operators.tables import parse_table_cells
+
+
+def test_element_cells_index_across_regions(spark):
+    # two OCR regions on one page: indices must be cumulative over EMITTED
+    # cells in (region, element) order; blanks skipped (G3, model.py:97,103)
+    rows = [
+        Row(doc_id="d", page_no=0, rect_seq=0, seq=0, text="a",
+            x1=0, y1=0, x2=500, y2=500, rect_l=0.0, rect_t=0.0, rect_r=100.0, rect_b=200.0),
+        Row(doc_id="d", page_no=0, rect_seq=0, seq=1, text="  ",
+            x1=None, y1=None, x2=None, y2=None, rect_l=0.0, rect_t=0.0, rect_r=100.0, rect_b=200.0),
+        Row(doc_id="d", page_no=0, rect_seq=1, seq=0, text="b",
+            x1=None, y1=None, x2=None, y2=None, rect_l=100.0, rect_t=0.0, rect_r=300.0, rect_b=200.0),
+    ]
+    out = {r.cell_text: r for r in elements_to_cells(spark.createDataFrame(rows)).collect()}
+    assert out["a"].cell_index == 0 and out["b"].cell_index == 1
+    # bbox rescale: 0-1000 -> region; no-bbox -> whole region
+    assert (out["a"].l, out["a"].t, out["a"].r, out["a"].b) == (0.0, 0.0, 50.0, 100.0)
+    assert (out["b"].l, out["b"].r) == (100.0, 300.0)
+
+
+def test_cluster_assign_tiebreak_and_orphan(spark):
+    clusters = spark.createDataFrame([
+        Row(doc_id="d", page_no=0, cluster_id=0, label="text", l=0.0, t=0.0, r=400.0, b=1000.0),
+        Row(doc_id="d", page_no=0, cluster_id=1, label="table", l=350.0, t=0.0, r=800.0, b=1000.0),
+    ])
+    cells = spark.createDataFrame([
+        Row(doc_id="d", page_no=0, cell_index=0, cell_text="both",
+            l=310.0, t=0.0, r=390.0, b=100.0),  # inside c0 fully, c1 partially
+        Row(doc_id="d", page_no=0, cell_index=1, cell_text="lost",
+            l=900.0, t=0.0, r=950.0, b=100.0),
+    ])
+    out = {r.cell_index: r for r in assign_cells_to_clusters(cells, clusters).collect()}
+    assert out[0].cluster_id == 0 and not out[0].is_orphan  # max-overlap wins
+    assert out[1].is_orphan and out[1].cluster_id == -2 and out[1].label == "text"
+
+
+def test_table_operator_dual_names_and_null_table(spark):
+    pages = spark.createDataFrame([
+        Row(doc_id="a", page_no=0, payload=(
+            '{"rows":2,"cols":2,"cells":['
+            '{"row":0,"col":0,"text":"H","rs":1,"cs":1,"hdr":true,"x1":0,"y1":0,"x2":500,"y2":100},'
+            '{"row":1,"col":0,"text":"x","row_span":1,"col_span":2,"is_header":false,"bbox":[0,100,1000,200]}]}'
+        )),
+        Row(doc_id="b", page_no=0, payload='{"rows":0,"cols":2,"cells":[]}'),
+        Row(doc_id="c", page_no=0, payload='{"rows":1,"cols":3,"cells":[]}'),
+    ])
+    rows = parse_table_cells(pages).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert "b" not in by_doc  # rows=0 -> null table
+    a = sorted(by_doc["a"], key=lambda r: r.cell_row)
+    assert a[0].col_header is True and a[0].end_col == 1
+    assert a[1].col_span == 2 and a[1].end_col == 2 and (a[1].cx2, a[1].cy2) == (1000.0, 200.0)
+    assert a[0].otsl == "cell l cell nl cell l cell"
+    c = by_doc["c"][0]  # cell-less table still emits the table row
+    assert c.cell_row is None and c.otsl == "cell l cell l cell"
+
+
+def test_enrichment_operators(spark):
+    pics = spark.createDataFrame([
+        Row(doc_id=1, payload='x {"classes":[{"confidence":0.3}]} y'),
+        Row(doc_id=2, payload='{"classes":[]}'),
+        Row(doc_id=3, payload="garbage"),
+    ])
+    got = {r.doc_id: r.classes for r in classify_pictures(pics).collect()}
+    assert [c.asDict() for c in got[1]] == [{"class_name": "other", "confidence": 0.3}]
+    assert got[2] is None and got[3] is None
+
+    code = spark.createDataFrame([
+        Row(doc_id=1, elem_kind="code", text="old",
+            payload='{"is_code":true,"language":"Shell","code":"ls"}'),
+        Row(doc_id=2, elem_kind="formula", text="old",
+            payload='{"is_formula":true,"latex":"x^2"}'),
+        Row(doc_id=3, elem_kind="code", text="old", payload='{"is_code":false}'),
+    ])
+    out = {r.doc_id: r for r in enrich_code_formula(code).collect()}
+    assert (out[1].out_text, out[1].language) == ("ls", "bash")
+    assert (out[2].out_text, out[2].language) == ("x^2", None)
+    assert (out[3].out_text, out[3].language) == ("old", None)
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " tail words"),   # near-dup of 1
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(40))),
+    ])
+    pairs = {(r.doc_a, r.doc_b) for r in
+             lsh_candidate_pairs(minhash_signature(docs)).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_and_jaccard_near_dups(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base, lang="en"),
+        Row(doc_id=2, text=base + " tail words", lang="en"),
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(40)), lang="en"),
+    ])
+    sp = {(r.doc_a, r.doc_b) for r in
+          simhash_near_pairs(simhash(docs)).collect()}
+    assert (1, 2) in sp
+    jp = {(r.doc_a, r.doc_b): r.jaccard for r in
+          ngram_jaccard_pairs(docs, block_cols=("lang",), threshold=0.5).collect()}
+    assert (1, 2) in jp and jp[(1, 2)] > 0.9
+    assert all(3 not in k for k in jp)
+
+
+def test_embedding_near_dup_bucket_collision(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, v=[1.0, 0.0, 0.0, 0.0]),
+         Row(vec_id=2, v=[1.0, 0.001, 0.0, 0.0]),
+         Row(vec_id=3, v=[-1.0, 0.5, -0.5, 0.2])]
+    ).select("vec_id", F.col("v").cast("array<double>").alias("v"))
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in
+             bucketed_near_duplicates(emb, threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    assert all(3 not in k for k in pairs)
