@@ -21,8 +21,10 @@ boilerplate-heavy corpora are split by the skew-join rule).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.text_fns import words
 
@@ -94,28 +96,42 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     return pairs.distinct()
 
 
+def _simhash_kernel(text: str, bits: int = SIMHASH_BITS, width: int = SHINGLE_WIDTH):
+    """Pure-Python/numpy simhash: md5-derived 60-bit shingle hashes, per-bit
+    strict majority (ties -> 0).  Bit-identical to the DuckDB oracle."""
+    import hashlib
+
+    import numpy as np
+
+    ws = [w for w in (text or "").split() if w]
+    n_sh = max(len(ws) - (width - 1), 1)
+    hashes = np.empty(n_sh, dtype=np.uint64)
+    for i in range(n_sh):
+        shingle = " ".join(ws[i : i + width])
+        hashes[i] = int(hashlib.md5(shingle.encode("utf-8")).hexdigest()[:15], 16)
+    bit_counts = (
+        (hashes[:, None] >> np.arange(bits, dtype=np.uint64)) & 1
+    ).sum(axis=0)
+    majority = bit_counts * 2 > len(hashes)
+    return int((majority.astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum())
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """Append a ``simhash`` bigint: bit b set iff the majority of shingle
-    hashes have bit b set (strict majority, ties -> 0).  Pure expressions:
-    the per-bit popcount is a filter over the shingle-hash array."""
-    hs = F.transform(word_shingles(F.col(text_col)), lambda s: portable_hash64(s))
-    n = F.size(hs)
-    # NB: F.shiftright/shiftleft require literal shift amounts in the Python
-    # API; call_function passes the loop variable column through to the SQL
-    # builtin, which accepts expressions
-    def _bit(b):
-        return lambda h: F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1
+    hashes have bit b set (strict majority, ties -> 0).
 
-    sim = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(
-            F.size(F.filter(hs, _bit(b))) * 2 > n,
-            F.call_function("shiftleft", F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return df.withColumn("simhash", sim)
+    Vectorized pandas UDF, deliberately NOT a SQL expression: higher-order
+    function lambdas are interpreted (not codegen'd), and the naive
+    expression form re-evaluated the md5 shingling per bit — measured 109 s
+    for 500 docs vs ~0.1 s for this Arrow-batched numpy kernel.  The DuckDB
+    oracle recomputes the identical value from SQL, so the cross-check stays
+    independent of this implementation.
+    """
+    @pandas_udf("long")
+    def simhash_udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: _simhash_kernel(t, bits))
+
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
 
 
 def simhash_near_pairs(

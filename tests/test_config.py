@@ -1,0 +1,37 @@
+"""Config/prompt parity — mirrors the reference's prompt and option tests
+(/root/reference/tests/test_parsing.py:105-164)."""
+
+import pytest
+
+from docling_ocr_qwen3vl_spark.config import (
+    DEFAULT_PROMPTS,
+    ExtractConfig,
+    resolve_prompt,
+)
+
+
+def test_default_prompts_contain_expected_content():
+    ocr = resolve_prompt("ocr")
+    assert "Extract all text" in ocr and "reading order" in ocr
+    md = resolve_prompt("markdown")
+    assert "markdown" in md.lower() and "headings" in md.lower()
+    assert "layout" in resolve_prompt("structured").lower()
+    assert resolve_prompt("qwenvl_html") == "QwenVL HTML"
+
+
+def test_prompt_overrides():
+    custom = "My custom OCR prompt"
+    assert resolve_prompt("ocr", {"ocr": custom}) == custom
+    # empty override falls through to the default (reference :49-55)
+    assert resolve_prompt("ocr", {"ocr": ""}) == DEFAULT_PROMPTS["ocr"]
+    assert resolve_prompt("ocr", {"markdown": custom}) == DEFAULT_PROMPTS["ocr"]
+
+
+def test_config_page_scale_clamped():
+    assert ExtractConfig(page_scale=0.5).page_scale == 1.0  # model.py:48
+    assert ExtractConfig(page_scale=3.0).page_scale == 3.0
+
+
+def test_config_rejects_unknown_mode():
+    with pytest.raises(ValueError):
+        ExtractConfig(prompt_mode="nope")
