@@ -59,6 +59,48 @@ def assign_buckets(embeddings: DataFrame, vec_col: str = "v") -> DataFrame:
     return embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col)))
 
 
+N_IVF_CELLS = 8
+
+
+def _centroid_weight(j: int, k: Column) -> Column:
+    """Deterministic centroid component in [-0.5, 0.5): integer-derived like
+    the hyperplanes, scaled to embedding magnitude."""
+    return (
+        ((F.lit(j).cast("long") * F.lit(1103515245) + k.cast("long") * F.lit(12345)) % 1000 - 500).cast("double")
+        / 1000.0
+    )
+
+
+def ivf_cell(vec: Column, n_cells: int = N_IVF_CELLS) -> Column:
+    """IVF coarse quantizer: nearest deterministic centroid by squared L2.
+
+    The scale path for ANN when an LSH sign-bucket is too coarse: build the
+    centroid table (here a fixed deterministic grid; in production a k-means
+    sample), assign each vector to its cell, and search only within the
+    probe cell(s).  Pure column expressions -> portable to the oracle.
+    """
+    idx = F.sequence(F.lit(1), F.size(vec))
+
+    def dist2(j: int) -> Column:
+        return F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, k: acc
+            + (F.element_at(vec, k) - _centroid_weight(j, k - 1))
+            * (F.element_at(vec, k) - _centroid_weight(j, k - 1)),
+        )
+
+    # one array of distances, argmin via array_position (first match ->
+    # deterministic lowest-j tie-break); a chained-when argmin would nest
+    # each dist2 exponentially in the expression tree
+    dists = F.array(*[dist2(j) for j in range(n_cells)])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def assign_ivf_cells(embeddings: DataFrame, vec_col: str = "v") -> DataFrame:
+    return embeddings.withColumn("cell", ivf_cell(F.col(vec_col)))
+
+
 def bucketed_near_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -731,6 +731,44 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+BPE_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INTEGER)
+    AS n_bpe_tokens
+FROM documents
+"""
+
+ROLLING_FINGERPRINT_SQL = (
+    "WITH " + _WORDS_CTE + """
+SELECT CAST(doc_num AS BIGINT) AS doc_id,
+  list_reduce(
+    list_transform(ws, w -> (('0x' || substr(md5(w), 1, 15))::BIGINT) % 2147483647),
+    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
+FROM docs
+"""
+)
+
+def _centroid(j: int, kexpr: str) -> str:
+    return (
+        f"(CAST((({j}::BIGINT * 1103515245 + {kexpr}::BIGINT * 12345) % 1000 - 500) AS DOUBLE) / 1000.0)"
+    )
+
+
+def _dist2(j: int, vec: str) -> str:
+    c = _centroid(j, "(k - 1)")
+    return (
+        f"list_sum(list_transform(range(1, len({vec}) + 1), "
+        f"k -> ({vec}[k] - {c}) * ({vec}[k] - {c})))"
+    )
+
+
+IVF_CELLS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, [{", ".join(_dist2(j, "v") for j in range(8))}] AS dists FROM e)
+SELECT vec_id, CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cell
+FROM d
+"""
+
 ORACLES = {
     "extract_interleaved_spans": EXTRACT_SPANS_SQL,
     "boilerplate_strip": BOILERPLATE_STRIP_SQL,
@@ -766,6 +804,9 @@ ORACLES = {
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
+    "bpe_token_count": BPE_TOKEN_COUNT_SQL,
+    "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
+    "ivf_cells": IVF_CELLS_SQL,
     "picture_describe": PICTURE_DESCRIBE_SQL,
     "repo_id_normalize": REPO_ID_NORMALIZE_SQL,
     "elements_to_text": ELEMENTS_TO_TEXT_SQL,

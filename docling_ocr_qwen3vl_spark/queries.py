@@ -586,6 +586,41 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_near_duplicates(both)
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: letter runs / digits / single punctuation, via
+    one regex extract-all (approximates subword pre-tokenization)."""
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)")
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(toks).cast("int").alias("n_bpe_tokens")
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the word stream, mod 2^31-1 (order-
+    sensitive — unlike the md5 fingerprint, detects reorderings)."""
+    from .operators.dedup import portable_hash64
+
+    M = 2147483647
+    P = 1000003
+    fp = F.aggregate(
+        F.col("ws"),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * P + F.pmod(portable_hash64(w), F.lit(M))) % M,
+    )
+    return _docs_words(spark, sf_dir).select("doc_id", fp.alias("rolling_fp"))
+
+
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization of the embedding column (nearest
+    deterministic centroid) — the ANN scale path beside LSH buckets."""
+    from .operators.similarity import assign_ivf_cells
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return assign_ivf_cells(emb).select("vec_id", "cell")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blob column -> Arrow-batched byte-level
     features (decode itself stubbed; see operators/multimodal.py)."""
@@ -776,6 +811,9 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
+    "bpe_token_count": q_bpe_token_count,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "ivf_cells": q_ivf_cells,
     "picture_describe": q_picture_describe,
     "repo_id_normalize": q_repo_id_normalize,
     "elements_to_text": q_elements_to_text,
