@@ -31,11 +31,19 @@ BENCH_QUERIES = (
     "extract_interleaved_spans",
     "paragraph_split",
     "boilerplate_strip",
+    "html_elements",
+    "layout_clusters",
+    "table_cells",
     "reading_order",
+    "cluster_assign",
     "dedup_exact",
+    "minhash_signature",
+    "simhash",
     "quality_score",
     "lang_id",
     "knn_bruteforce",
+    "ann_lsh_buckets",
+    "media_features",
 )
 
 _CHILD_SNIPPET = r"""

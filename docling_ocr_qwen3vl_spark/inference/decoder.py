@@ -70,7 +70,9 @@ class DeterministicDecoder:
             return []
         if payload_kind == "qwenvl_html":
             return self._decode_html(payload)
-        if payload_kind == "plain_text":
+        if payload_kind in ("plain_text", "ocr", "markdown", "structured"):
+            # every non-HTML prompt mode flows through the paragraph
+            # splitter in the reference (qwen_runner.py:186)
             return self._decode_plain(payload)
         if payload_kind == "layout_json":
             return self._decode_layout(payload)
