@@ -769,8 +769,38 @@ SELECT vec_id, CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cel
 FROM d
 """
 
+
+# input_hint ingestion path: per doc 8 output spans —
+#  0-2 text (plain paragraphs W14/W58/W910), 3 media passthrough (ext://),
+#  4-7 html (h1 W12, p W38, minted img media://doc/2/2, p W910)
+EXTRACT_FROM_INTERLEAVED_SQL = (
+    "WITH " + _WORDS_CTE + """,
+slots AS (
+  SELECT doc_id, ws, s.slot_no
+  FROM docs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot_no) s
+)
+SELECT doc_id,
+  CAST(slot_no AS INTEGER) AS "offset",
+  CASE WHEN slot_no IN (3, 6) THEN 'media_ref' ELSE 'text' END AS kind,
+  CASE slot_no
+    WHEN 0 THEN array_to_string(ws[1:4], ' ')
+    WHEN 1 THEN array_to_string(ws[5:8], ' ')
+    WHEN 2 THEN array_to_string(ws[9:10], ' ')
+    WHEN 4 THEN array_to_string(ws[1:2], ' ')
+    WHEN 5 THEN array_to_string(ws[3:8], ' ')
+    WHEN 7 THEN array_to_string(ws[9:10], ' ')
+    ELSE '' END AS text,
+  CASE slot_no
+    WHEN 3 THEN 'ext://' || doc_id || '/0'
+    WHEN 6 THEN 'media://' || doc_id || '/2/2'
+    ELSE '' END AS media_ref
+FROM slots
+"""
+)
+
 ORACLES = {
     "extract_interleaved_spans": EXTRACT_SPANS_SQL,
+    "extract_from_interleaved": EXTRACT_FROM_INTERLEAVED_SQL,
     "boilerplate_strip": BOILERPLATE_STRIP_SQL,
     "paragraph_split": PARAGRAPH_SPLIT_SQL,
     "think_strip": THINK_STRIP_SQL,

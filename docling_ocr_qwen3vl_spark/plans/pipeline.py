@@ -67,6 +67,56 @@ def extract_documents(
     return assemble_documents(extract_spans(spark, sf_dir, documents, num_partitions))
 
 
+def extract_spans_from_interleaved(
+    spark: SparkSession,
+    interleaved: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """BASELINE.json input_hint path: the INPUT is itself an interleaved
+    (doc_id, spans[]) table whose raw_html/raw_text spans carry payloads and
+    whose media spans are pre-resolved references.
+
+    Plan: explode (generator) -> salted repartition -> fused decode for the
+    raw payload spans ONLY (media spans never enter Python — a filter +
+    projection keeps them JVM-side with their identity preserved) -> union
+    -> one reading-order window.  Same two-shuffle budget as extract_spans.
+    """
+    from ..sources.interleaved import RAW_TEXT_KINDS, explode_interleaved
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+
+    rows = explode_interleaved(interleaved).repartition(
+        num_partitions, F.xxhash64("doc_id", "in_offset")
+    )
+
+    payload_kind = F.coalesce(
+        *[
+            F.when(F.col("in_kind") == src, F.lit(dst))
+            for src, dst in RAW_TEXT_KINDS.items()
+        ]
+    )
+    raw_pages = rows.filter(F.col("in_kind").isin(*RAW_TEXT_KINDS)).select(
+        "doc_id",
+        F.col("in_offset").alias("page_no"),
+        payload_kind.alias("payload_kind"),
+        "payload",
+    )
+    decoded = decode_pages(raw_pages)
+
+    media_rows = rows.filter(F.col("in_kind") == "media").select(
+        "doc_id",
+        F.col("in_offset").alias("page_no"),
+        F.lit(0).cast("int").alias("seq"),
+        F.lit("media_ref").alias("kind"),
+        F.lit("").alias("text"),
+        F.lit(0).cast("int").alias("y1"),
+        F.lit(0).cast("int").alias("x1"),
+        F.col("media_ref_in").alias("media_ref"),
+    )
+    return number_spans(decoded.unionByName(media_rows))
+
+
 def write_spans(spans_docs: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Sink. Iceberg ``writeTo(...).append()`` on a cluster with a catalog;
     parquet in the sandbox (S5 in SURVEY.md §2.1)."""

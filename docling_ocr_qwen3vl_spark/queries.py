@@ -50,6 +50,34 @@ def q_extract_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(spark, sf_dir)
 
 
+def q_extract_from_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint path: the INPUT is a (doc_id, spans[]) interleaved table
+    (raw_text + pre-resolved media + raw_html spans); media identities must
+    pass through unchanged, html-internal media get minted refs."""
+    from .plans.pipeline import extract_spans_from_interleaved
+    from .sources.synthetic import _html_payload
+
+    def span(kind, text, media_ref, offset):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            media_ref.alias("media_ref"),
+            F.lit(offset).cast("int").alias("offset"),
+        )
+
+    plain = F.concat(_w(1, 4), F.lit("\n\n"), _w(5, 8), F.lit("\n\n"), _w(9, 10))
+    ext_ref = F.concat(F.lit("ext://"), F.col("doc_id").cast("string"), F.lit("/0"))
+    interleaved = _docs_words(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            span("raw_text", plain, F.lit(""), 0),
+            span("media", F.lit(""), ext_ref, 1),
+            span("raw_html", _html_payload(F.col("ws")), F.lit(""), 2),
+        ).alias("spans"),
+    )
+    return extract_spans_from_interleaved(spark, interleaved)
+
+
 # ------------------------------------------------------- text ops (T-series)
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: tag-strip + whitespace collapse over an HTML-wrapped payload."""
@@ -778,6 +806,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "extract_interleaved_spans": q_extract_interleaved_spans,
+    "extract_from_interleaved": q_extract_from_interleaved,
     "boilerplate_strip": q_boilerplate_strip,
     "paragraph_split": q_paragraph_split,
     "think_strip": q_think_strip,
