@@ -30,20 +30,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = (
     "extract_interleaved_spans",
     "paragraph_split",
-    "boilerplate_strip",
     "html_elements",
-    "layout_clusters",
-    "table_cells",
-    "reading_order",
-    "cluster_assign",
     "dedup_exact",
     "minhash_signature",
     "simhash",
     "quality_score",
-    "lang_id",
     "knn_bruteforce",
-    "ann_lsh_buckets",
-    "media_features",
 )
 
 _CHILD_SNIPPET = r"""
@@ -162,6 +154,8 @@ def main() -> None:
     from docling_ocr_qwen3vl_spark.plans.session import build_session
     from docling_ocr_qwen3vl_spark.queries import QUERIES
 
+    t_bench_start = time.time()
+
     spark = build_session(
         app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
@@ -200,13 +194,17 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         # stub-decode regime: parse kernels only (~30µs/page) — the WORST
-        # case for scaling because shuffle/overhead is a large fraction
-        result["scaling"] = run_scaling(SF_DIR, rep=256, reps=4)
+        # case for scaling (shuffle/overhead-bound); kept small — the full
+        # diagnostic with the host-noise envelope lives in BENCH/BASELINE.md
+        result["scaling"] = run_scaling(SF_DIR, rep=64, reps=2, lo=8, hi=32)
         # inference regime: 1ms/page simulated model latency (still 100-1000x
         # cheaper than the reference's real VLM) — the map stage dominates,
-        # which is the regime the north-rule's GPU deployment actually runs in
+        # which is the regime the north-rule's GPU deployment actually runs
+        # in.  Retry once under threshold, unless the time budget is spent.
+        budget_left = time.time() - t_bench_start < 300
         result["scaling_inference_sim"] = run_scaling(
-            SF_DIR, rep=24, reps=3, decode_cost_us=1000, retry_below=0.8
+            SF_DIR, rep=12, reps=2, decode_cost_us=1000,
+            retry_below=0.8 if budget_left else None,
         )
 
     print(json.dumps(result))
