@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Java-regex class matching every boundary Python's str.splitlines() splits
+# on (\r\n first so it counts as ONE break, like splitlines).
+_LINE_BREAK_RE = r"\r\n|[\n\r\x0B\x0C\x1C\x1D\x1E\x85\u2028\u2029]"
+
 
 def collapse_ws(col: Column) -> Column:
     """Whitespace runs -> single space."""
@@ -67,8 +71,13 @@ def split_paragraphs_col(col: Column) -> Column:
         F.transform(F.split(col, r"\n\s*\n"), lambda p: ws_trim(p)),
         lambda p: p != F.lit(""),
     )
+    # Python str.splitlines() semantics, not just '\n': the reference kernel
+    # splits on \r\n and the single-char line breaks \n \r \x0b \x0c
+    # \x1c \x1d \x1e \x85    , so 'a\rb' must yield TWO lines.
     lines = F.filter(
-        F.transform(F.split(col, r"\n"), lambda p: ws_trim(p)),
+        F.transform(
+            F.split(col, _LINE_BREAK_RE), lambda p: ws_trim(p)
+        ),
         lambda p: p != F.lit(""),
     )
     base = F.when(

@@ -40,15 +40,17 @@ def portable_hash64(col: Column) -> Column:
 
 
 def word_shingles(text_col: Column, width: int = SHINGLE_WIDTH) -> Column:
-    """Overlapping word n-grams, in order (docs here always have >= width
-    words; emits a single shorter shingle otherwise via the sequence guard)."""
+    """Overlapping word n-grams, in order.  Texts with fewer than ``width``
+    words emit a single shorter shingle: ``slice`` truncates at the array
+    end, so there is no out-of-bounds access — safe under Spark 4's default
+    ANSI mode (``element_at`` past the end would throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT and abort the job on any real corpus
+    containing short docs)."""
     ws = words(text_col)
     n = F.size(ws)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(n - (width - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + k) for k in range(width)]
-        ),
+        lambda i: F.array_join(F.slice(ws, i, width), " "),
     )
 
 

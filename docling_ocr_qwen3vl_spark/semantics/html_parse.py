@@ -147,7 +147,10 @@ _FLAT_ELEMENT_RE = re.compile(
     r"((?:\s+[a-z_:][-\w:.]*\s*=\s*\"[^\"<>&]*\")*)\s*"
     r"(?:/>|>([^<>&]*)</\1\s*>)"
 )
-_ATTR_BBOX_RE = re.compile(r'data-bbox\s*=\s*"([^"]*)"', re.IGNORECASE)
+# Left-anchored on whitespace/start so attribute names that merely END in
+# "data-bbox" (e.g. xdata-bbox) never match — the stream parser compares
+# the attr name with == and would yield bbox None / the other attr's value.
+_ATTR_BBOX_RE = re.compile(r'(?:^|\s)data-bbox\s*=\s*"([^"]*)"', re.IGNORECASE)
 
 
 def _fast_parse(

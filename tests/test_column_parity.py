@@ -43,6 +43,13 @@ PARAGRAPH_CASES = [
     "a\t\n\nb\t",
     "\ttabbed only\t",
     "x\r\n\r\ny",
+    # str.splitlines() boundaries beyond '\n' (ADVICE round 1)
+    "a\rb",
+    "a\x0bb\x0cc",
+    "x\r\n\ry",
+    "one\x1ctwo\x1dthree\x1efour",
+    "nel\x85split",
+    "u v w",
 ]
 
 

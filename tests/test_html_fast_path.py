@@ -14,6 +14,7 @@ FRAGMENTS = [
     '<p data-bbox="bad">', '<p data-bbox="1 2 3">', "<figure>", "</figure>",
     "<script>", "</script>", "<br>", '<link rel="x"/>',
     '<p data-bbox="1 2 3 4" data-bbox="5 6 7 8">', "\t",
+    '<p xdata-bbox="1 2 3 4">', '<p data-bbox="1 2 3 4" xdata-bbox="5 6 7 8">',
 ]
 
 
@@ -49,6 +50,21 @@ def test_fast_path_accepts_canonical_vlm_output():
     )
     assert hp._fast_parse(html, True) is not None
     assert hp._fast_parse(html, True) == _stream_parse(html, True)
+
+
+def test_fast_path_bbox_attr_name_is_anchored():
+    # attr names merely ENDING in data-bbox must not contribute a bbox
+    for s, keep in [
+        ('<p xdata-bbox="1 2 3 4">t</p>', False),
+        ('<p data-bbox="1 2 3 4" xdata-bbox="5 6 7 8">t</p>', False),
+    ]:
+        fast = hp._fast_parse(s, keep)
+        assert fast is not None
+        assert fast == _stream_parse(s, keep), repr(s)
+    only = hp._fast_parse('<p xdata-bbox="1 2 3 4">t</p>', False)
+    assert only[0].bbox is None
+    both = hp._fast_parse('<p data-bbox="1 2 3 4" xdata-bbox="5 6 7 8">t</p>', False)
+    assert both[0].bbox == (1, 2, 3, 4)
 
 
 def test_fast_path_declines_hard_cases():

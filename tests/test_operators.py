@@ -131,6 +131,25 @@ def test_simhash_and_jaccard_near_dups(spark):
     assert all(3 not in k for k in jp)
 
 
+def test_dedup_operators_survive_short_docs(spark):
+    # Spark 4 runs ANSI mode by default: element_at past the array end would
+    # abort the whole job.  Shingling must degrade to one shorter shingle.
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="two words", lang="en"),
+        Row(doc_id=2, text="two words", lang="en"),
+        Row(doc_id=3, text="solo", lang="en"),
+        Row(doc_id=4, text="   ", lang="en"),
+        Row(doc_id=5, text=" ".join(f"w{i}" for i in range(12)), lang="en"),
+    ])
+    sigs = minhash_signature(docs).collect()           # must not raise
+    assert len(sigs) == 5
+    sp = simhash(docs).collect()                        # must not raise
+    assert len(sp) == 5
+    jp = {(r.doc_a, r.doc_b): r.jaccard for r in
+          ngram_jaccard_pairs(docs, block_cols=("lang",), threshold=0.5).collect()}
+    assert jp[(1, 2)] == 1.0                            # identical short docs pair up
+
+
 def test_embedding_near_dup_bucket_collision(spark):
     emb = spark.createDataFrame(
         [Row(vec_id=1, v=[1.0, 0.0, 0.0, 0.0]),
