@@ -9,7 +9,7 @@ resume filter.
 
 Protocol (SURVEY.md §2.1 S6, §7 step 8):
 
-  lineage(run_id, partition_id, doc_id_min, doc_id_max, n_docs, n_pages,
+  lineage(run_id, partition_id, doc_id_min, doc_id_max, n_docs, n_spans,
           wall_ms, committed_at)
 
   * the driver splits the input doc_id domain into hash groups
@@ -45,7 +45,7 @@ LINEAGE_COLUMNS = (
     "doc_id_min",
     "doc_id_max",
     "n_docs",
-    "n_pages",
+    "n_spans",
     "wall_ms",
     "committed_at",
 )
@@ -123,16 +123,19 @@ def run_checkpointed_extract(
         group_docs = documents.filter(_group_col(run.n_groups) == group)
         spans = extract_spans(spark, sf_dir, documents=group_docs)
         # output first (deterministic per-group dir -> overwrite idempotent)
-        spans.write.mode("overwrite").parquet(
-            os.path.join(run.out_path, f"group={group}")
-        )
+        group_path = os.path.join(run.out_path, f"group={group}")
+        spans.write.mode("overwrite").parquet(group_path)
+        # stats from the JUST-WRITTEN parquet: re-running the extraction
+        # plan for the aggregate would double the decode cost per group
         stats = (
-            spans.agg(
+            spark.read.parquet(group_path)
+            .agg(
                 F.countDistinct("doc_id").alias("n_docs"),
                 F.countDistinct("doc_id", "offset").alias("n_spans"),
                 F.min(F.col("doc_id").cast("long")).alias("dmin"),
                 F.max(F.col("doc_id").cast("long")).alias("dmax"),
-            ).collect()
+            )
+            .collect()
         )[0]
         # lineage LAST, from the driver only
         spark.createDataFrame(
@@ -149,7 +152,7 @@ def run_checkpointed_extract(
                 )
             ],
             schema="run_id string, partition_id int, doc_id_min string, "
-            "doc_id_max string, n_docs long, n_pages long, wall_ms long, "
+            "doc_id_max string, n_docs long, n_spans long, wall_ms long, "
             "committed_at string",
         ).write.mode("append").parquet(run.lineage_path)
         processed += 1

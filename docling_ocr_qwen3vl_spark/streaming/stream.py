@@ -16,6 +16,8 @@ plan, and reusing it keeps span semantics bit-identical between modes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -37,6 +39,22 @@ def stream_documents(
     )
 
 
+def write_batch_idempotent(spans: DataFrame, output_dir: str, batch_id: int) -> None:
+    """Idempotent micro-batch sink: each batch owns the partition directory
+    ``batch_id=<id>`` and OVERWRITES it.
+
+    ``foreachBatch`` alone is only at-least-once — a batch that fails after
+    a partial/complete write is retried with the SAME batch_id, and a blind
+    ``mode('append')`` would duplicate its rows.  Overwriting the batch's
+    own deterministic directory makes the retry a no-op-equivalent, which
+    upgrades the sink to exactly-once (same idempotency argument as the
+    per-group overwrite in ``plans/checkpoint.py``).  In production the
+    sink is an Iceberg ``overwritePartitions`` on the same key."""
+    spans.write.mode("overwrite").parquet(
+        os.path.join(output_dir, f"batch_id={batch_id}")
+    )
+
+
 def start_extraction_stream(
     spark: SparkSession,
     input_dir: str,
@@ -45,13 +63,15 @@ def start_extraction_stream(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Incremental extraction: each micro-batch of newly-arrived documents
-    runs the batch span pipeline and appends to the output table."""
+    runs the batch span pipeline; exactly-once end-to-end via Spark's
+    streaming checkpoint (replay) + the idempotent per-batch-partition
+    overwrite sink (dedupe on retry)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spans = extract_spans(spark, sf_dir="", documents=batch_df)
-        spans.write.mode("append").parquet(output_dir)
+        write_batch_idempotent(spans, output_dir, batch_id)
 
     writer = (
         stream_documents(spark, input_dir)

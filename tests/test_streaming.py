@@ -4,7 +4,10 @@ and is exactly-once across restarts (streaming checkpoint)."""
 import os
 
 from docling_ocr_qwen3vl_spark.plans.pipeline import extract_spans
-from docling_ocr_qwen3vl_spark.streaming.stream import start_extraction_stream
+from docling_ocr_qwen3vl_spark.streaming.stream import (
+    start_extraction_stream,
+    write_batch_idempotent,
+)
 
 
 def _sorted_spans(df):
@@ -42,3 +45,17 @@ def test_stream_matches_batch_and_is_exactly_once(spark, sf_dir, tmp_path):
     q3 = start_extraction_stream(spark, in_dir, out_dir, ckpt)
     q3.awaitTermination(120)
     assert _sorted_spans(spark.read.parquet(out_dir)) == _sorted_spans(want_all)
+
+
+def test_batch_sink_is_idempotent_on_retry(spark, sf_dir, tmp_path):
+    """foreachBatch retries re-run the SAME batch_id; the per-batch
+    partition overwrite must not duplicate rows (exactly-once sink)."""
+    out_dir = str(tmp_path / "out")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(20)
+    spans = extract_spans(spark, sf_dir, documents=docs)
+    write_batch_idempotent(spans, out_dir, batch_id=7)
+    once = _sorted_spans(spark.read.parquet(out_dir))
+    write_batch_idempotent(spans, out_dir, batch_id=7)  # simulated retry
+    assert _sorted_spans(spark.read.parquet(out_dir)) == once
+    write_batch_idempotent(spans.limit(0), out_dir, batch_id=8)  # new empty batch
+    assert _sorted_spans(spark.read.parquet(out_dir)) == once
