@@ -155,24 +155,58 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     return df.withColumn("simhash", simhash_udf(F.col(text_col)))
 
 
+SIMHASH_BLOCKS = 10  # > max_hamming, so the pigeonhole guarantee holds
+
+
 def simhash_near_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_blocks: int = SIMHASH_BLOCKS,
 ) -> DataFrame:
-    """Near-dup pairs: equal top-20-bit block (cheap equi-join key), then
-    exact hamming filter via bit_count(xor).  Output (doc_a, doc_b, hamming)."""
-    block = F.shiftright(F.col("simhash"), 40)
-    left = sigs.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), block.alias("blk")
+    """Near-dup pairs with GUARANTEED recall (pigeonhole banding).
+
+    The 60-bit signature splits into ``n_blocks`` disjoint bit-blocks; a
+    pair with hamming <= max_hamming has differing bits in at most
+    ``max_hamming`` blocks, so with ``n_blocks > max_hamming`` it MUST agree
+    on at least one whole block — every qualifying pair is found.  (The
+    previous single top-20-bit block silently dropped any pair whose
+    differing bits touched the top 20.)
+
+    Plan: posexplode each signature into (block_id, block_value) rows, ONE
+    equi self-join on that composite key (hash shuffle, never cartesian),
+    exact hamming filter, distinct.  Output (doc_a, doc_b, hamming)."""
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming} "
+            "for the pigeonhole recall guarantee"
+        )
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), width * j).bitwiseAND(F.lit(mask))
+            for j in range(n_blocks)
+        ]
     )
-    right = sigs.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), block.alias("blk")
+    exploded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(blocks).alias("bid", "bval"),
+    )
+    left = exploded.select(
+        F.col("id").alias("doc_a"), F.col("simhash").alias("sim_a"), "bid", "bval"
+    )
+    right = exploded.select(
+        F.col("id").alias("doc_b"), F.col("simhash").alias("sim_b"), "bid", "bval"
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        left.join(right, "blk")
+        left.join(right, ["bid", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

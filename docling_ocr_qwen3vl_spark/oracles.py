@@ -569,11 +569,18 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM sims
 """
 )
 
+# pigeonhole banding: 10 disjoint 6-bit blocks of the 60-bit signature;
+# any pair with hamming <= 8 agrees on >= 2 whole blocks, so the union of
+# per-block equi-joins has guaranteed recall (matches operators/dedup.py)
 SIMHASH_PAIRS_SQL = (
-    "WITH " + _MUTANT_DOCS_CTE + "," + _SIMHASH_CORE + """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    "WITH " + _MUTANT_DOCS_CTE + "," + _SIMHASH_CORE + """,
+blocks AS (
+  SELECT doc_id, simhash, b.bid, (simhash >> (6 * b.bid)) & 63 AS bval
+  FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bid) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sims a JOIN sims b ON (a.simhash >> 40) = (b.simhash >> 40)
+FROM blocks a JOIN blocks b ON a.bid = b.bid AND a.bval = b.bval
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 8
 """

@@ -131,6 +131,33 @@ def test_simhash_and_jaccard_near_dups(spark):
     assert all(3 not in k for k in jp)
 
 
+def test_simhash_pairs_recall_when_diff_bits_in_top_block(spark):
+    """Pairs whose differing bits all sit in the TOP 20 bits were silently
+    dropped by the old single-block join; pigeonhole banding must find every
+    pair with hamming <= 8 regardless of where the bits differ."""
+    base = 0x0ABCDEF12345678  # arbitrary 60-bit signature
+    cases = [
+        base ^ (0b111 << 50),   # 3 diffs inside bits 50-52 (old top-20 block)
+        base ^ (0xFF << 52),    # 8 diffs, all in the top 8 bits
+        base ^ (0b101 << 29),   # diffs straddling a 6-bit block boundary
+        base ^ ((1 << 59) | 1), # extremes: top bit + bottom bit
+    ]
+    rows = [Row(doc_id=0, simhash=base)] + [
+        Row(doc_id=i + 1, simhash=s) for i, s in enumerate(cases)
+    ]
+    sigs = spark.createDataFrame(rows)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(sigs).collect()}
+    assert got[(0, 1)] == 3
+    assert got[(0, 2)] == 8
+    assert got[(0, 3)] == 2
+    assert got[(0, 4)] == 2
+    # far pair (hamming > 8) must NOT appear even when a block collides
+    far = spark.createDataFrame(
+        [Row(doc_id=0, simhash=base), Row(doc_id=9, simhash=base ^ ((1 << 30) - 2))]
+    )
+    assert simhash_near_pairs(far).count() == 0
+
+
 def test_dedup_operators_survive_short_docs(spark):
     # Spark 4 runs ANSI mode by default: element_at past the array end would
     # abort the whole job.  Shingling must degrade to one shorter shingle.
