@@ -8,15 +8,17 @@ semantic position):
   * MinHash+LSH  — word-shingles -> k minhashes -> banded buckets ->
                    candidate pairs via self-join on band key
   * SimHash      — per-bit majority over shingle hashes -> 60-bit signature;
-                   near-dup pairs = small hamming distance within a top-bits
-                   block
-  * n-gram Jaccard — exact set overlap within cheap blocking keys
+                   near-dup pairs via pigeonhole bit-block banding
+                   (guaranteed recall at the configured hamming radius)
+  * n-gram Jaccard — exact set overlap within (block_cols, log2-size-bucket)
+                   blocks with neighbour probing (guaranteed recall at the
+                   configured threshold)
 
 Scale notes: every family is shuffle-bounded by its JOIN KEY design —
-LSH bands / simhash blocks / (lang, n_tokens) blocks keep candidate sets
-tiny so the quadratic step never sees the full corpus.  At 10^12 docs the
-band tables are the only shuffles and AQE handles band skew (hot bands from
-boilerplate-heavy corpora are split by the skew-join rule).
+LSH bands / simhash bit-blocks / (lang, size-bucket) blocks keep candidate
+sets tiny so the quadratic step never sees the full corpus.  At 10^12 docs
+the band tables are the only shuffles and AQE handles band skew (hot bands
+from boilerplate-heavy corpora are split by the skew-join rule).
 """
 
 from __future__ import annotations
@@ -214,35 +216,54 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_cols: tuple[str, ...] = ("lang", "n_chars"),
+    block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard over distinct word-shingle sets within blocking keys.
+    """Exact Jaccard over distinct word-shingle sets with LOSSLESS blocking.
 
-    Blocking (equi-join on cheap attributes) bounds the quadratic step; the
-    set ops are JVM array intrinsics (array_intersect/union are distinct-
-    semantics, matching Python set math).
-    Output (doc_a, doc_b, jaccard)."""
+    Candidate pruning joins on ``block_cols`` PLUS a log2 bucket of the
+    distinct-shingle count, probed +-ceil(log2(1/threshold)) buckets on one
+    side.  Recall is guaranteed, not heuristic: jaccard(A,B) >= t implies
+    |B|/|A| <= 1/t, so the floored log2 buckets of |A| and |B| differ by at
+    most ceil(log2(1/t)) — every qualifying pair lands in some probed
+    bucket.  (The previous default blocked on exact ``n_chars`` equality, so
+    a one-word edit silently broke the block and the pair was never
+    scored.)  Spurious candidates from bucket probing are removed by the
+    exact jaccard filter; the set ops are JVM array intrinsics
+    (array_intersect/union are distinct-semantics, matching Python set
+    math).  Output (doc_a, doc_b, jaccard)."""
+    import math
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    radius = max(0, math.ceil(math.log2(1.0 / threshold)))
     base = docs.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.array_distinct(word_shingles(F.col(text_col))).alias("sh"),
     )
+    bucket = F.floor(F.log2(F.size("sh").cast("double"))).cast("int")
     left = base.select(
         F.col(id_col).alias("doc_a"),
         F.col("sh").alias("sh_a"),
         *[F.col(c) for c in block_cols],
+        bucket.alias("bk"),
     )
+    # probe side: each doc also lands in its neighbour buckets, so a pair in
+    # adjacent buckets meets exactly once (at the left doc's own bucket)
     right = base.select(
         F.col(id_col).alias("doc_b"),
         F.col("sh").alias("sh_b"),
         *[F.col(c) for c in block_cols],
+        F.explode(
+            F.array(*[bucket + F.lit(d) for d in range(-radius, radius + 1)])
+        ).alias("bk"),
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        left.join(right, list(block_cols))
+        left.join(right, [*block_cols, "bk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -158,6 +158,25 @@ def test_simhash_pairs_recall_when_diff_bits_in_top_block(spark):
     assert simhash_near_pairs(far).count() == 0
 
 
+def test_ngram_jaccard_finds_unequal_length_near_dups(spark):
+    """The old default blocked on exact n_chars equality, so near-dups of
+    unequal length were never scored; the log2-size bucket + neighbour
+    probe must find every pair with jaccard >= threshold."""
+    a = " ".join(f"w{i}" for i in range(20))                       # 18 shingles
+    b = a + " " + " ".join(f"x{i}" for i in range(14))             # 32 shingles
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=a, lang="en", n_chars=len(a)),
+        Row(doc_id=2, text=b, lang="en", n_chars=len(b)),          # n_chars differs!
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(20)), lang="en",
+            n_chars=77),
+    ])
+    jp = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert (1, 2) in jp and abs(jp[(1, 2)] - 18 / 32) < 1e-6
+    assert all(3 not in k for k in jp)
+    # pair counted exactly once despite the probe fan-out
+    assert len(jp) == 1
+
+
 def test_dedup_operators_survive_short_docs(spark):
     # Spark 4 runs ANSI mode by default: element_at past the array end would
     # abort the whole job.  Shingling must degrade to one shorter shingle.
