@@ -23,9 +23,19 @@ docs AS (
 )
 """
 
+# html grammar variant (doc_num % 5, sources/synthetic.py:_html_payload):
+# the slot-1 body TEXT gains a deterministic suffix for the style-leak (v=2)
+# and charref (v=4) variants; tags/types/bboxes vary but span kind/order
+# stay identical across variants (the img is always the 3rd kept element).
+_HTML_BODY_SUFFIX = (
+    "(CASE doc_num % 5 WHEN 2 THEN ' p{margin:0}' "
+    "WHEN 4 THEN ' & co' ELSE '' END)"
+)
+
 # Flagship: the expected span stream, slot-enumerated.
 # Page kinds cycle (doc+page)%4: 0 html, 1 plain, 2 layout, 3 table.
-#  html slots  : 0 h1=W(1,2) text | 1 p=W(3,8) text | 2 img media | 3 p=W(9,10) text
+#  html slots  : 0 h1=W(1,2) text | 1 body=W(3,8)+variant-suffix text
+#                | 2 img media | 3 p=W(9,10) text
 #  plain slots : 0 W(1,4) | 1 W(5,8) | 2 W(9,10)  (all text)
 #  layout slots: 0 picture media | 1 table media   (title/text clusters carry no text)
 #  table slots : 0 media unless doc_num % 11 == 0 (rows=0 -> null table)
@@ -54,7 +64,7 @@ raw_elems AS (
     CASE
       WHEN kind_idx = 0 THEN (CASE slot_no
         WHEN 0 THEN array_to_string(ws[1:2], ' ')
-        WHEN 1 THEN array_to_string(ws[3:8], ' ')
+        WHEN 1 THEN array_to_string(ws[3:8], ' ') || """ + _HTML_BODY_SUFFIX + r"""
         WHEN 3 THEN array_to_string(ws[9:10], ' ')
         ELSE '' END)
       WHEN kind_idx = 1 THEN (CASE slot_no
@@ -315,20 +325,31 @@ kinds AS (
 )
 """
 
+# grammar variants (doc_num % 5): v=1 emits the nested li instead of the
+# body p; v=3's UPPERCASE h1 carries a malformed 3-int bbox -> NULL bbox;
+# v=2/v=4 suffix the body text (style leak / charref)
 HTML_ELEMENTS_SQL = (
     "WITH " + _WORDS_CTE + "," + _PAGES_CTE + r""",
 els AS (
-  SELECT doc_id, CAST(page_no AS INTEGER) AS page_no, s.slot_no AS seq,
-    CASE s.slot_no WHEN 0 THEN 'h1' ELSE 'p' END AS tag,
-    CASE s.slot_no WHEN 0 THEN 'heading' ELSE 'paragraph' END AS element_type,
+  SELECT doc_id, doc_num, CAST(page_no AS INTEGER) AS page_no, s.slot_no AS seq,
+    CASE WHEN s.slot_no = 0 THEN 'h1'
+         WHEN s.slot_no = 1 AND doc_num % 5 = 1 THEN 'li'
+         ELSE 'p' END AS tag,
+    CASE WHEN s.slot_no = 0 THEN 'heading'
+         WHEN s.slot_no = 1 AND doc_num % 5 = 1 THEN 'list_item'
+         ELSE 'paragraph' END AS element_type,
     CASE s.slot_no
       WHEN 0 THEN array_to_string(ws[1:2], ' ')
-      WHEN 1 THEN array_to_string(ws[3:8], ' ')
+      WHEN 1 THEN array_to_string(ws[3:8], ' ') || """ + _HTML_BODY_SUFFIX + r"""
       ELSE array_to_string(ws[9:10], ' ') END AS text,
-    CASE s.slot_no WHEN 0 THEN 100 ELSE 100 END AS x1,
-    CASE s.slot_no WHEN 0 THEN 40 WHEN 1 THEN 120 ELSE 820 END AS y1,
-    CASE s.slot_no WHEN 0 THEN 900 ELSE 900 END AS x2,
-    CASE s.slot_no WHEN 0 THEN 90 WHEN 1 THEN 400 ELSE 980 END AS y2
+    CASE WHEN s.slot_no = 0 AND doc_num % 5 = 3 THEN NULL ELSE 100 END AS x1,
+    CASE WHEN s.slot_no = 0 AND doc_num % 5 = 3 THEN NULL
+         WHEN s.slot_no = 0 THEN 40 WHEN s.slot_no = 1 THEN 120
+         ELSE 820 END AS y1,
+    CASE WHEN s.slot_no = 0 AND doc_num % 5 = 3 THEN NULL ELSE 900 END AS x2,
+    CASE WHEN s.slot_no = 0 AND doc_num % 5 = 3 THEN NULL
+         WHEN s.slot_no = 0 THEN 90 WHEN s.slot_no = 1 THEN 400
+         ELSE 980 END AS y2
   FROM kinds
   CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS slot_no) s
   WHERE kind_idx = 0
@@ -340,13 +361,16 @@ FROM els
 """
 )
 
+# v=3's heading has NO bbox -> full-region fallback cell (0,0,pw,ph)
 ELEMENT_CELLS_SQL = (
     "WITH " + _WORDS_CTE + "," + _PAGES_CTE + r""",
 els AS (
-  SELECT doc_id, CAST(page_no AS INTEGER) AS page_no, s.slot_no AS seq, pw, ph,
+  SELECT doc_id, doc_num, CAST(page_no AS INTEGER) AS page_no,
+    s.slot_no AS seq, pw, ph,
+    (s.slot_no = 0 AND doc_num % 5 = 3) AS no_bbox,
     CASE s.slot_no
       WHEN 0 THEN array_to_string(ws[1:2], ' ')
-      WHEN 1 THEN array_to_string(ws[3:8], ' ')
+      WHEN 1 THEN array_to_string(ws[3:8], ' ') || """ + _HTML_BODY_SUFFIX + r"""
       ELSE array_to_string(ws[9:10], ' ') END AS text,
     100 AS x1,
     CASE s.slot_no WHEN 0 THEN 40 WHEN 1 THEN 120 ELSE 820 END AS y1,
@@ -357,10 +381,10 @@ els AS (
   WHERE kind_idx = 0
 )
 SELECT doc_id, page_no, CAST(seq AS INTEGER) AS cell_index, text AS cell_text,
-  round(x1 * pw / 1000.0, 6) AS l,
-  round(y1 * ph / 1000.0, 6) AS t,
-  round(x2 * pw / 1000.0, 6) AS r,
-  round(y2 * ph / 1000.0, 6) AS b
+  round(CASE WHEN no_bbox THEN 0.0 ELSE x1 * pw / 1000.0 END, 6) AS l,
+  round(CASE WHEN no_bbox THEN 0.0 ELSE y1 * ph / 1000.0 END, 6) AS t,
+  round(CASE WHEN no_bbox THEN pw ELSE x2 * pw / 1000.0 END, 6) AS r,
+  round(CASE WHEN no_bbox THEN ph ELSE y2 * ph / 1000.0 END, 6) AS b
 FROM els
 """
 )
@@ -783,7 +807,7 @@ FROM d
 EXTRACT_FROM_INTERLEAVED_SQL = (
     "WITH " + _WORDS_CTE + """,
 slots AS (
-  SELECT doc_id, ws, s.slot_no
+  SELECT doc_id, doc_num, ws, s.slot_no
   FROM docs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot_no) s
 )
 SELECT doc_id,
@@ -794,7 +818,7 @@ SELECT doc_id,
     WHEN 1 THEN array_to_string(ws[5:8], ' ')
     WHEN 2 THEN array_to_string(ws[9:10], ' ')
     WHEN 4 THEN array_to_string(ws[1:2], ' ')
-    WHEN 5 THEN array_to_string(ws[3:8], ' ')
+    WHEN 5 THEN array_to_string(ws[3:8], ' ') || """ + _HTML_BODY_SUFFIX + """
     WHEN 7 THEN array_to_string(ws[9:10], ' ')
     ELSE '' END AS text,
   CASE slot_no

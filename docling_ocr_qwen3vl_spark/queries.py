@@ -72,7 +72,7 @@ def q_extract_from_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             span("raw_text", plain, F.lit(""), 0),
             span("media", F.lit(""), ext_ref, 1),
-            span("raw_html", _html_payload(F.col("ws")), F.lit(""), 2),
+            span("raw_html", _html_payload(F.col("ws"), F.col("doc_id")), F.lit(""), 2),
         ).alias("spans"),
     )
     return extract_spans_from_interleaved(spark, interleaved)

@@ -46,11 +46,67 @@ def _w(ws: Column, i: int, j: int) -> Column:
     return F.array_join(F.slice(ws, i, j - i + 1), " ")
 
 
-def _html_payload(ws: Column) -> Column:
-    """QwenVL HTML page: heading + body + boilerplate + image + tail."""
+def _html_payload(ws: Column, doc_num: Column) -> Column:
+    """QwenVL HTML page: heading + body + boilerplate + image + tail.
+
+    ``doc_num % 5`` selects a grammar variant so the CORRECTNESS oracle
+    drives the quirk-exact STREAM parser end-to-end, not just the regex
+    fast path (round-1 verdict: the corpus certified only the easy
+    grammar).  Expected elements stay slot-enumerable:
+
+      v=0  flat well-formed (regex fast path)           h1 / p / img / p
+      v=1  nested <ul><li> — only the li emits          h1 / li / img / p
+      v=2  <style> INSIDE the open <p> — its text       h1 / p+leak / img / p
+           leaks into the paragraph (reference quirk)
+      v=3  UPPERCASE tag + malformed 3-int bbox on h1   h1(no bbox) / p / img / p
+      v=4  charref &amp; in the body (fast-path bail)   h1 / p+' & co' / img / p
+
+    Only v=0 stays inside the fast-path grammar; v=1..4 each trip a
+    different bail-out (nesting, inner tag, uppercase, entity), property-
+    tested in tests/test_synthetic_quirks.py.
+    """
+    v = doc_num % 5
+    h1 = F.when(
+        v == 3,
+        F.concat(F.lit('<H1 DATA-BBOX="100 40 900">'), _w(ws, 1, 2), F.lit("</H1>")),
+    ).otherwise(
+        F.concat(F.lit('<h1 data-bbox="100 40 900 90">'), _w(ws, 1, 2), F.lit("</h1>"))
+    )
+    body = (
+        F.when(
+            v == 1,
+            F.concat(
+                F.lit('<ul data-bbox="100 120 900 400">'
+                      '<li data-bbox="100 120 900 400">'),
+                _w(ws, 3, 8),
+                F.lit("</li></ul>"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit('<p data-bbox="100 120 900 400">'),
+                _w(ws, 3, 8),
+                F.lit("<style>p{margin:0}</style></p>"),
+            ),
+        )
+        .when(
+            v == 4,
+            F.concat(
+                F.lit('<p data-bbox="100 120 900 400">'),
+                _w(ws, 3, 8),
+                F.lit(" &amp; co</p>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<p data-bbox="100 120 900 400">'), _w(ws, 3, 8), F.lit("</p>")
+            )
+        )
+    )
     return F.concat(
-        F.lit('<h1 data-bbox="100 40 900 90">'), _w(ws, 1, 2), F.lit("</h1>"),
-        F.lit('<p data-bbox="100 120 900 400">'), _w(ws, 3, 8), F.lit("</p>"),
+        h1,
+        body,
         F.lit("<style>p{margin:0}</style>"),
         F.lit('<img data-bbox="100 420 500 800"/>'),
         F.lit('<p data-bbox="100 820 900 980">'), _w(ws, 9, 10), F.lit("</p>"),
@@ -145,7 +201,7 @@ def synth_raw_pages(
     ws = F.col("ws")
 
     payload = (
-        F.when(kind_idx == 0, _html_payload(ws))
+        F.when(kind_idx == 0, _html_payload(ws, dnum))
         .when(kind_idx == 1, _plain_payload(ws))
         .when(kind_idx == 2, _layout_payload(dnum))
         .otherwise(_table_payload(dnum, pno, ws))
