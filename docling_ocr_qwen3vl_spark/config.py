@@ -15,7 +15,10 @@ prompts.
 
 from __future__ import annotations
 
+import dataclasses
+import re
 from dataclasses import dataclass, field
+from typing import ClassVar
 
 # prompts.py:27-46 — default prompt per mode (the QWENVL_HTML user prompt is
 # the short trigger string; its system prompt lives with the GPU decoder)
@@ -39,6 +42,23 @@ DEFAULT_PROMPTS: dict[str, str] = {
     ),
     "qwenvl_html": "QwenVL HTML",
 }
+
+
+# prompts.py:11-24 — the system prompt that triggers data-bbox output from
+# Qwen3-VL (verbatim: it is the data contract a production decoder must
+# send; the repo's HTML parser consumes exactly the grammar it requests)
+QWENVL_HTML_SYSTEM_PROMPT = """You are an AI specialized in recognizing and extracting text from document images.
+Your mission is to analyze the page image and generate the result in QwenVL Document Parser HTML format.
+
+QwenVL Document Parser HTML rules:
+- Use standard HTML elements (<h1>-<h6>, <p>, <ul>, <ol>, <li>, <table>, <tr>, <th>, <td>, <img>, <figure>, <figcaption>, <div>, etc.).
+- Every visible element (text block, heading, table, figure, list item, header, footer) MUST have a data-bbox="x1 y1 x2 y2" attribute with 4 integers in [0, 1000] (page coordinates, top-left origin).
+- Coordinates must satisfy: x1 <= x2, y1 <= y2.
+- Do NOT output <style>, <script>, <link>, or inline CSS.
+- Do NOT output explanations before or after the HTML.
+- Output valid HTML that can be parsed with a standard HTML parser.
+
+Output ONLY the final QwenVL HTML, no explanations."""
 
 
 def resolve_prompt(mode: str, overrides: dict[str, str] | None = None) -> str:
@@ -77,3 +97,182 @@ class ExtractConfig:
 
     def prompt(self) -> str:
         return resolve_prompt(self.prompt_mode, self.prompt_overrides)
+
+
+# --------------------------------------------------------------------------
+# Per-stage options surface — parity with the reference's six Pydantic
+# classes (options.py:75-511): kind-dispatched construction, unknown keys
+# REJECTED (extra="forbid"), range validators, and the HF-cache repo-id
+# normalizer applied on every class's model_repo_id.
+# --------------------------------------------------------------------------
+
+DEFAULT_QWEN3VL_MODEL_REPO_ID = "unsloth/Qwen3-VL-4B-Instruct-bnb-4bit"
+QUANTIZATION_MODES = ("none", "int8", "int4")  # options.py:67-72
+
+# options.py:27 — cache-folder basenames like models--owner--repo
+_HF_CACHE_REPO_DIR_RE = re.compile(
+    r"^(?:models--)?(?P<owner>[^/\\]+)--(?P<repo>[^/\\]+)$"
+)
+
+
+def normalize_model_repo_id(value: str) -> str:
+    """HF cache-dir path -> owner/repo (options.py:29-56, M10).
+
+    Canonical ``owner/repo`` ids pass through; path-like values have their
+    basename matched against the cache-dir pattern (greedy owner group, so
+    ``a--b--c`` -> ``a--b/c`` exactly like the reference's regex); anything
+    else is returned unchanged."""
+    normalized = value.strip()
+    if not normalized:
+        return normalized
+    if (
+        not normalized.startswith(("/", "./", "../"))
+        and "\\" not in normalized
+        and normalized.count("/") == 1
+    ):
+        return normalized
+    basename = normalized.replace("\\", "/").rstrip("/").split("/")[-1]
+    match = _HF_CACHE_REPO_DIR_RE.match(basename)
+    if not match:
+        return normalized
+    return f"{match.group('owner')}/{match.group('repo')}"
+
+
+def _require(cond: bool, kind: str, message: str) -> None:
+    if not cond:
+        raise ValueError(f"{kind}: {message}")
+
+
+@dataclass
+class StageOptions:
+    """Common model knobs; subclasses add per-stage fields.
+
+    ``from_dict`` is the kind-dispatch entrypoint and rejects unknown keys
+    — the analog of the reference's ``ConfigDict(extra="forbid")`` (ref
+    tests tests/test_parsing.py:134-164 pin defaults + normalization)."""
+
+    kind: ClassVar[str] = ""
+
+    model_repo_id: str = DEFAULT_QWEN3VL_MODEL_REPO_ID
+    device: str | None = "cuda"
+    dtype: str = "bfloat16"
+    max_new_tokens: int = 4096
+    trust_remote_code: bool = True
+    hf_token: str | None = None
+    attn_implementation: str = "sdpa"
+    quantization: str = "none"
+    bnb_4bit_quant_type: str = "nf4"
+    bnb_4bit_use_double_quant: bool = True
+
+    @classmethod
+    def from_dict(cls, options: dict) -> "StageOptions":
+        allowed = {f.name for f in dataclasses.fields(cls)}
+        unknown = sorted(set(options) - allowed)
+        if unknown:
+            raise ValueError(
+                f"{cls.kind}: unknown option keys {unknown} (extra='forbid')"
+            )
+        return cls(**options)
+
+    def __post_init__(self) -> None:
+        self.model_repo_id = normalize_model_repo_id(self.model_repo_id)
+        _require(self.max_new_tokens >= 1, self.kind, "max_new_tokens must be >= 1")
+        _require(
+            self.quantization in QUANTIZATION_MODES,
+            self.kind,
+            f"quantization must be one of {QUANTIZATION_MODES}",
+        )
+
+
+@dataclass
+class Qwen3VlOcrOptions(StageOptions):
+    """options.py:75-184 (kind qwen3vl_ocr)."""
+
+    kind: ClassVar[str] = "qwen3vl_ocr"
+
+    lang: list[str] = field(default_factory=list)  # accepted, ignored
+    prompt_mode: str = "qwenvl_html"
+    prompt_overrides: dict[str, str] = field(default_factory=dict)
+    temperature: float = 0.6
+    top_p: float = 0.95
+    top_k: int = 20
+    do_sample: bool = False
+    timeout_s: float | None = None
+    page_scale: float = 2.0
+
+    def __post_init__(self) -> None:
+        super().__post_init__()
+        _require(self.prompt_mode in PROMPT_MODES, self.kind,
+                 f"prompt_mode must be one of {PROMPT_MODES}")
+        _require(self.temperature >= 0.0, self.kind, "temperature must be >= 0")
+        _require(0.0 <= self.top_p <= 1.0, self.kind, "top_p must be in [0, 1]")
+        _require(self.top_k >= 1, self.kind, "top_k must be >= 1")
+        _require(self.timeout_s is None or self.timeout_s >= 0.0, self.kind,
+                 "timeout_s must be >= 0")
+        _require(1.0 <= self.page_scale <= 4.0, self.kind,
+                 "page_scale must be in [1, 4]")
+
+    def prompt(self) -> str:
+        return resolve_prompt(self.prompt_mode, self.prompt_overrides)
+
+
+@dataclass
+class Qwen3VlPictureDescriptionOptions(StageOptions):
+    """options.py:187-259 (kind qwen3vl)."""
+
+    kind: ClassVar[str] = "qwen3vl"
+
+    prompt: str = (
+        "Describe this image in detail. Include information about the type "
+        "of content (photo, chart, diagram, illustration, etc.), the main "
+        "subject, and any relevant details visible in the image."
+    )
+
+
+@dataclass
+class Qwen3VlTableStructureOptions(StageOptions):
+    """options.py:262-321 (kind qwen3vl_table)."""
+
+    kind: ClassVar[str] = "qwen3vl_table"
+
+
+@dataclass
+class Qwen3VlLayoutOptions(StageOptions):
+    """options.py:324-387 (kind qwen3vl_layout)."""
+
+    kind: ClassVar[str] = "qwen3vl_layout"
+
+
+@dataclass
+class Qwen3VlPictureClassifierOptions(StageOptions):
+    """options.py:390-445 (kind qwen3vl_classifier)."""
+
+    kind: ClassVar[str] = "qwen3vl_classifier"
+
+
+@dataclass
+class Qwen3VlCodeFormulaOptions(StageOptions):
+    """options.py:448-511 (kind qwen3vl_code_formula)."""
+
+    kind: ClassVar[str] = "qwen3vl_code_formula"
+
+
+OPTION_KINDS: dict[str, type[StageOptions]] = {
+    cls.kind: cls
+    for cls in (
+        Qwen3VlOcrOptions,
+        Qwen3VlPictureDescriptionOptions,
+        Qwen3VlTableStructureOptions,
+        Qwen3VlLayoutOptions,
+        Qwen3VlPictureClassifierOptions,
+        Qwen3VlCodeFormulaOptions,
+    )
+}
+
+
+def options_from_dict(kind: str, options: dict | None = None) -> StageOptions:
+    """Kind-dispatched construction with unknown-kind/-key rejection."""
+    if kind not in OPTION_KINDS:
+        raise ValueError(f"unknown options kind: {kind!r} "
+                         f"(expected one of {sorted(OPTION_KINDS)})")
+    return OPTION_KINDS[kind].from_dict(options or {})

@@ -119,11 +119,32 @@ class TorchQwenDecoder:
 
     Mirrors the reference inference loop: per-executor singleton model
     (M1/M2), micro-batched generate (M3), think strip (M4), decode+strip
-    (M5), cache release (M6).  Constructing it without torch installed
+    (M5), cache release (M6).  All STRING/CONFIG logic is pure and tested
+    without torch in ``inference/generation.py``; only the tensor calls
+    below are deployment-only.  Constructing it without torch installed
     raises ImportError with a clear message instead of failing mid-task.
     """
 
-    def __init__(self, model_repo_id: str, device: str = "cuda", micro_batch: int = 8):
+    def __init__(
+        self,
+        options=None,
+        model_repo_id: str | None = None,
+        device: str = "cuda",
+        micro_batch: int = 8,
+    ):
+        from ..config import Qwen3VlOcrOptions, normalize_model_repo_id
+        from .generation import resolve_dtype_name, select_attention_backend
+
+        self.options = options or Qwen3VlOcrOptions()
+        if model_repo_id is not None:
+            self.options.model_repo_id = normalize_model_repo_id(model_repo_id)
+        self.device = device
+        self.micro_batch = micro_batch
+        # M7/M9: resolved BEFORE the torch gate — pure selection logic
+        self.attn_implementation = select_attention_backend(
+            self.options.attn_implementation
+        )
+        self.dtype_name = resolve_dtype_name(self.options.dtype)
         try:
             import torch  # noqa: F401
             import transformers  # noqa: F401
@@ -133,11 +154,26 @@ class TorchQwenDecoder:
                 "has neither. Use DeterministicDecoder, or deploy with "
                 "spark-submit --py-files on a GPU cluster."
             ) from exc
+        self._shared = None  # lazy (M2): first decode_page loads the model
+
+    def decode_page(self, payload_kind: str, payload) -> list[tuple]:
+        """payload = page raster bytes on GPU deployments.
+
+        Loop per micro-batch (qwen_runner.py:63-190):
+          messages = build_chat_messages(mode, resolve_prompt(...), image)
+          kwargs   = select_generation_kwargs(mode, self.options)
+          ids      = model.generate(**inputs, **kwargs)[:, input_len:]
+          ids      = slice_after_think(ids)             # M4, token level
+          text     = processor.batch_decode(ids, ...)[0].strip()
+        then the SAME structural parse as DeterministicDecoder.  For the
+        constrained-JSON stages (T11): inject_assistant_prefix(...) before
+        processor(), finalize_json_output(...) after batch_decode, with
+        JSON_SINGLE_SHOT_KWARGS.
+        """  # pragma: no cover - tensor path needs a GPU deployment
         raise NotImplementedError(
-            "GPU inference path is deployment-only; the Spark-side plumbing "
-            "(singleton registry, mapInPandas micro-batching, schema) is "
-            "exercised via DeterministicDecoder."
-        )  # pragma: no cover
+            "tensor path is deployment-only; its pure halves live in "
+            "inference/generation.py and are unit-tested torch-free"
+        )
 
 
 def get_decoder(backend: str = "deterministic", simulate_cost_us: int = 0):
@@ -149,6 +185,6 @@ def get_decoder(backend: str = "deterministic", simulate_cost_us: int = 0):
         )
     if backend == "qwen3vl":
         return get_or_create(
-            ("decoder", backend), lambda: TorchQwenDecoder("Qwen/Qwen3-VL-8B-Instruct")
+            ("decoder", backend), lambda: TorchQwenDecoder()
         )
     raise ValueError(f"unknown decoder backend: {backend}")
