@@ -488,6 +488,28 @@ SELECT doc_id, CAST(cell_index AS INTEGER) AS cell_index, cell_text,
 FROM cells
 """
 
+# IoU(shift d, both axes) = (100-d)^2 / (20000-(100-d)^2): d=0 -> 1.0,
+# d=4 -> 0.855 (dropped at 0.8), d=8 -> 0.734 (kept) — hence doc_id%7 <= 1
+CELL_DEDUPE_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 7 AS DOUBLE) * 4.0 AS d FROM documents
+),
+cells AS (
+  SELECT doc_id, s.ci, d
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS ci) s
+  WHERE NOT (s.ci = 1 AND doc_id % 7 <= 1)
+)
+SELECT doc_id, CAST(ci AS INTEGER) AS cell_index,
+  CASE ci WHEN 0 THEN 'base' WHEN 1 THEN 'dup'
+          WHEN 2 THEN 'right' ELSE 'partial' END AS cell_text,
+  round(CASE ci WHEN 0 THEN 0.0 WHEN 1 THEN d WHEN 2 THEN 200.0 ELSE 250.0 END, 6) AS l,
+  round(CASE ci WHEN 1 THEN d ELSE 0.0 END, 6) AS t,
+  round(CASE ci WHEN 0 THEN 100.0 WHEN 1 THEN d + 100.0
+                WHEN 2 THEN 300.0 ELSE 350.0 END, 6) AS r,
+  round(CASE ci WHEN 1 THEN d + 100.0 ELSE 100.0 END, 6) AS b
+FROM cells
+"""
+
 CHECKPOINT_RESUME_SQL = """
 WITH g AS (
   SELECT doc_id,
@@ -856,6 +878,7 @@ ORACLES = {
     "picture_classify": PICTURE_CLASSIFY_SQL,
     "code_formula_enrich": CODE_FORMULA_ENRICH_SQL,
     "cluster_assign": CLUSTER_ASSIGN_SQL,
+    "cell_dedupe": CELL_DEDUPE_SQL,
     "checkpoint_resume": CHECKPOINT_RESUME_SQL,
     "minhash_signature": MINHASH_SIGNATURE_SQL,
     "lsh_dup_pairs": LSH_DUP_PAIRS_SQL,

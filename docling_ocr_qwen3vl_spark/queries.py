@@ -523,6 +523,42 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 second half: geometric overlap-dedupe of OCR cells.
+
+    4 synthetic cells per document; cell 1 duplicates cell 0 shifted by
+    (doc_id%7)*4 px in x and y, so shifts 0 and 4 px cross the IoU>=0.8
+    threshold (dropped) while 8+ px stay; cells 2/3 overlap at IoU 1/3 and
+    both survive."""
+    from .operators.cell_dedupe import dedupe_cells
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    shift = (F.col("doc_id") % 7).cast("double") * 4.0
+
+    def cell(idx, text, l, t, r, b):
+        return F.struct(
+            F.lit(idx).cast("int").alias("cell_index"),
+            F.lit(text).alias("cell_text"),
+            l.alias("l"), t.alias("t"), r.alias("r"), b.alias("b"),
+        )
+
+    z = F.lit(0.0)
+    cells = d.select(
+        "doc_id", F.lit(0).alias("page_no"),
+        F.explode(F.array(
+            cell(0, "base", z, z, F.lit(100.0), F.lit(100.0)),
+            cell(1, "dup", shift, shift, shift + 100.0, shift + 100.0),
+            cell(2, "right", F.lit(200.0), z, F.lit(300.0), F.lit(100.0)),
+            cell(3, "partial", F.lit(250.0), z, F.lit(350.0), F.lit(100.0)),
+        )).alias("c"),
+    ).select("doc_id", "page_no", "c.*")
+    return dedupe_cells(cells).select(
+        "doc_id", "cell_index", "cell_text",
+        F.round("l", 6).alias("l"), F.round("t", 6).alias("t"),
+        F.round("r", 6).alias("r"), F.round("b", 6).alias("b"),
+    )
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: resume filter — input minus committed hash groups {0,1} of 8."""
     from .plans.checkpoint import group_col, resume_filter
@@ -831,6 +867,7 @@ QUERIES = {
     "picture_classify": q_picture_classify,
     "code_formula_enrich": q_code_formula_enrich,
     "cluster_assign": q_cluster_assign,
+    "cell_dedupe": q_cell_dedupe,
     "checkpoint_resume": q_checkpoint_resume,
     "minhash_signature": q_minhash_signature,
     "lsh_dup_pairs": q_lsh_dup_pairs,

@@ -102,6 +102,41 @@ def test_enrichment_operators(spark):
     assert (out[3].out_text, out[3].language) == ("old", None)
 
 
+def test_cell_dedupe_drops_overlaps_keeps_earlier(spark):
+    from docling_ocr_qwen3vl_spark.operators.cell_dedupe import dedupe_cells
+
+    def c(doc, page, idx, text, l, t, r, b):
+        return Row(doc_id=doc, page_no=page, cell_index=idx, cell_text=text,
+                   l=float(l), t=float(t), r=float(r), b=float(b))
+
+    cells = spark.createDataFrame([
+        c("d", 0, 0, "keep-first", 0, 0, 100, 100),
+        c("d", 0, 1, "exact-dup", 0, 0, 100, 100),        # IoU 1 vs 0 -> drop
+        c("d", 0, 2, "chained", 0, 40, 100, 140),         # IoU 0.43 vs 0, 0.43 vs 1
+        c("d", 0, 3, "far", 500, 500, 600, 600),          # disjoint -> keep
+        c("d", 1, 0, "other-page", 0, 0, 100, 100),       # page key isolates
+        c("d", 1, 1, "page1-dup", 1, 1, 101, 101),        # drop within page 1
+        c("e", 0, 0, "other-doc", 0, 0, 100, 100),        # doc key isolates
+    ])
+    kept = {(r.doc_id, r.page_no, r.cell_index): r.cell_text
+            for r in dedupe_cells(cells).collect()}
+    assert ("d", 0, 1) not in kept
+    assert ("d", 1, 1) not in kept
+    assert kept[("d", 0, 0)] == "keep-first"
+    assert kept[("d", 0, 2)] == "chained"          # below threshold -> kept
+    assert kept[("d", 0, 3)] == "far"
+    assert kept[("d", 1, 0)] == "other-page"
+    assert kept[("e", 0, 0)] == "other-doc"
+    # "any earlier" semantics: a cell duplicating a DROPPED earlier cell
+    # is still dropped (decision depends only on the input)
+    chain = spark.createDataFrame([
+        c("x", 0, 0, "a", 0, 0, 100, 100),
+        c("x", 0, 1, "b", 2, 2, 102, 102),     # dup of 0 -> dropped
+        c("x", 0, 2, "cc", 4, 4, 104, 104),    # dup of 1 (and of 0) -> dropped
+    ])
+    assert [r.cell_index for r in dedupe_cells(chain).collect()] == [0]
+
+
 def test_minhash_lsh_finds_planted_near_dup(spark):
     base = " ".join(f"w{i}" for i in range(40))
     docs = spark.createDataFrame([
