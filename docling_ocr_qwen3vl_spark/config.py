@@ -89,6 +89,10 @@ class ExtractConfig:
     # scale knobs
     num_partitions: int | None = None  # None -> defaultParallelism * 2
     n_checkpoint_groups: int = 64
+    # near-dup sweep knobs (k=8/2 matches the small-SF oracle; production
+    # corpora run k=64, 8-16 bands — see operators/dedup.py)
+    minhash_k: int = 8
+    minhash_bands: int = 2
 
     def __post_init__(self) -> None:
         self.page_scale = max(1.0, self.page_scale)

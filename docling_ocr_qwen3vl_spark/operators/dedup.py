@@ -56,49 +56,176 @@ def word_shingles(text_col: Column, width: int = SHINGLE_WIDTH) -> Column:
     )
 
 
-def _minhash_kernel(text: str, k: int = N_MINHASHES, width: int = SHINGLE_WIDTH):
-    """h_j = min over shingles of md5(shingle || '#j') (60-bit int); two
-    band keys = md5 of the comma-joined half-signatures.  Bit-identical to
-    the DuckDB oracle and to the previous SQL-expression form."""
+N_BANDS = 2
+
+
+def _minhash_kernel(
+    text: str,
+    k: int = N_MINHASHES,
+    width: int = SHINGLE_WIDTH,
+    n_bands: int = N_BANDS,
+):
+    """h_j = min over shingles of md5(shingle || '#j') (60-bit int); band
+    keys = md5 of the comma-joined per-band signature rows.  Bit-identical
+    to the DuckDB oracle and to the previous SQL-expression form.
+
+    Cost shape: ONE full md5 pass over each shingle's bytes, then k cheap
+    state-copy + 2-3-byte salt updates (``md5(s).copy().update(salt)`` ==
+    ``md5(s + salt)``) — vs the naive k full passes per shingle.  This is
+    what keeps production-sized k (64+) affordable: the shingle bytes
+    dominate, and they are hashed once regardless of k.
+    """
     import hashlib
 
     ws = [w for w in (text or "").split() if w]
     n_sh = max(len(ws) - (width - 1), 1)
-    shingle_bytes = [
-        " ".join(ws[i : i + width]).encode("utf-8") for i in range(n_sh)
-    ]
-    hs = []
-    for j in range(k):
-        salt = f"#{j}".encode()
-        hs.append(
-            min(int(hashlib.md5(s + salt).hexdigest()[:15], 16) for s in shingle_bytes)
-        )
-    half = k // 2
-    band0 = hashlib.md5(",".join(map(str, hs[:half])).encode()).hexdigest()
-    band1 = hashlib.md5(",".join(map(str, hs[half:])).encode()).hexdigest()
-    return tuple(hs) + (band0, band1)
+    salts = [f"#{j}".encode() for j in range(k)]
+    mins = [1 << 62] * k
+    for i in range(n_sh):
+        base = hashlib.md5(" ".join(ws[i : i + width]).encode("utf-8"))
+        for j, salt in enumerate(salts):
+            lane = base.copy()
+            lane.update(salt)
+            # == int(hexdigest()[:15], 16): the first 60 bits, without the
+            # hex-string round-trip (measured ~1.6x on the whole kernel)
+            v = int.from_bytes(lane.digest()[:8], "big") >> 4
+            if v < mins[j]:
+                mins[j] = v
+    rows = k // n_bands
+    bands = tuple(
+        hashlib.md5(
+            ",".join(map(str, mins[b * rows : (b + 1) * rows])).encode()
+        ).hexdigest()
+        for b in range(n_bands)
+    )
+    return tuple(mins) + bands
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text", k: int = N_MINHASHES) -> DataFrame:
-    """Append h0..h{k-1} minhash columns + two band keys (k/2-row bands).
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Append h0..h{k-1} minhash columns + band0..band{n_bands-1} LSH keys
+    (k/n_bands-row bands).
+
+    (k, n_bands) tune the similarity threshold the LSH step targets
+    (~(1/n_bands)^(n_bands/k)); the k=8/2-band default matches the oracle,
+    production near-dup sweeps run k=64/8-16 bands via ExtractConfig.
 
     Arrow-batched pandas UDF rather than a SQL expression: higher-order
     lambdas over md5 are interpreted row-at-a-time JVM-side (measured
     ~18 ms/doc; this kernel is ~20x faster) — same reasoning as simhash().
     """
-    fields = ", ".join(f"h{j} long" for j in range(k)) + ", band0 string, band1 string"
+    if k % n_bands != 0:
+        raise ValueError(f"k={k} must be divisible by n_bands={n_bands}")
+    band_names = [f"band{b}" for b in range(n_bands)]
+    fields = ", ".join(f"h{j} long" for j in range(k)) + ", " + ", ".join(
+        f"{b} string" for b in band_names
+    )
 
     @pandas_udf(f"struct<{fields}>")
     def minhash_udf(text: pd.Series) -> pd.DataFrame:
-        rows = [_minhash_kernel(t, k) for t in text]
+        rows = [_minhash_kernel(t, k, SHINGLE_WIDTH, n_bands) for t in text]
         return pd.DataFrame(
-            rows, columns=[f"h{j}" for j in range(k)] + ["band0", "band1"]
+            rows, columns=[f"h{j}" for j in range(k)] + band_names
         )
 
     out = df.withColumn("_sig", minhash_udf(F.col(text_col)))
     cols = {f"h{j}": F.col(f"_sig.h{j}") for j in range(k)}
-    cols["band0"] = F.col("_sig.band0")
-    cols["band1"] = F.col("_sig.band1")
+    for b in band_names:
+        cols[b] = F.col(f"_sig.{b}")
+    return out.withColumns(cols).drop("_sig")
+
+
+# ---- fast production MinHash: one md5 per shingle TOTAL, k lanes by
+# multiply-shift hashing (numpy-vectorized).  The md5-salt kernel above is
+# oracle-locked at k=8; its cost is k md5 FINALIZATIONS per shingle (the
+# state-copy trick can't remove the per-lane padding block), measured
+# ~12 ms/doc at k=64.  This variant derives all k lanes from a single
+# 60-bit md5 base per shingle with engine-portable integer math:
+#
+#   salt_j = ((j * MULT + ADD) mod 2^64) mod 2^60
+#   lane_j = ((base XOR salt_j) * MULT mod 2^64) >> 4        (60-bit)
+#
+# numpy uint64 wraps mod 2^64 natively; the DuckDB oracle replicates the
+# wrap with HUGEINT % 2^64 — bit-identical by construction.
+
+_FAST_MULT = 11400714819323198485  # 0x9E3779B97F4A7C15, odd (multiply-shift)
+_FAST_ADD = 15112296128964570371   # 0xD1B54A32D192ED03
+_U64 = 1 << 64
+_U60 = 1 << 60
+
+
+def fast_minhash_salts(k: int) -> list[int]:
+    return [((j * _FAST_MULT + _FAST_ADD) % _U64) % _U60 for j in range(k)]
+
+
+def _minhash_fast_kernel(
+    text: str, k: int, width: int, n_bands: int, salts
+) -> tuple:
+    import hashlib
+
+    import numpy as np
+
+    ws = [w for w in (text or "").split() if w]
+    n_sh = max(len(ws) - (width - 1), 1)
+    bases = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(" ".join(ws[i : i + width]).encode("utf-8")).digest()[:8],
+                "big",
+            )
+            >> 4
+            for i in range(n_sh)
+        ),
+        dtype=np.uint64,
+        count=n_sh,
+    )
+    lanes = (bases[:, None] ^ salts[None, :]) * np.uint64(_FAST_MULT) >> np.uint64(4)
+    sig = [int(v) for v in lanes.min(axis=0)]
+    rows = k // n_bands
+    bands = tuple(
+        hashlib.md5(
+            ",".join(map(str, sig[b * rows : (b + 1) * rows])).encode()
+        ).hexdigest()
+        for b in range(n_bands)
+    )
+    return (sig,) + bands
+
+
+def minhash_signature_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 64,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Production-sized MinHash: ``sig`` array<long> of k lanes + band keys.
+
+    ~50x cheaper per lane than the md5-salt kernel (one md5 per shingle
+    total; lanes are vectorized numpy integer ops), so k=64+ is affordable
+    at 100 TB.  Values differ from minhash_signature by design — each
+    variant has its own independent DuckDB oracle."""
+    if k % n_bands != 0:
+        raise ValueError(f"k={k} must be divisible by n_bands={n_bands}")
+    import numpy as np
+
+    salts = np.array(fast_minhash_salts(k), dtype=np.uint64)
+    band_names = [f"band{b}" for b in range(n_bands)]
+    fields = "sig array<long>, " + ", ".join(f"{b} string" for b in band_names)
+
+    @pandas_udf(f"struct<{fields}>")
+    def fast_udf(text: pd.Series) -> pd.DataFrame:
+        rows = [
+            _minhash_fast_kernel(t, k, SHINGLE_WIDTH, n_bands, salts) for t in text
+        ]
+        return pd.DataFrame(rows, columns=["sig"] + band_names)
+
+    out = df.withColumn("_sig", fast_udf(F.col(text_col)))
+    cols = {"sig": F.col("_sig.sig")}
+    for b in band_names:
+        cols[b] = F.col(f"_sig.{b}")
     return out.withColumns(cols).drop("_sig")
 
 
@@ -106,10 +233,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     """Distinct candidate pairs sharing at least one LSH band.
 
     Self-join per band key (equi-join -> hash shuffle on the band, never a
-    cartesian), union, distinct.  Output: (doc_a, doc_b), doc_a < doc_b.
+    cartesian) over every band column present in the signature table,
+    union, distinct.  Output: (doc_a, doc_b), doc_a < doc_b.
     """
+    bands = [c for c in signatures.columns if c.startswith("band")]
+    if not bands:
+        raise ValueError("signature table has no band columns")
     pairs = None
-    for band in ("band0", "band1"):
+    for band in bands:
         left = signatures.select(F.col(id_col).alias("doc_a"), F.col(band).alias("bk"))
         right = signatures.select(F.col(id_col).alias("doc_b"), F.col(band).alias("bk"))
         p = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select(

@@ -591,6 +591,38 @@ WHERE pr.doc_id < pr.b_doc
 """
 )
 
+# fast multiply-shift MinHash (operators/dedup.py minhash_signature_fast):
+# salt_j = ((j*MULT + ADD) % 2^64) % 2^60; lane = ((h XOR salt_j) * MULT
+# % 2^64) >> 4.  numpy wraps uint64 natively; HUGEINT % 2^64 replicates it.
+_FAST_SALT = (
+    "CAST(((CAST(j AS HUGEINT) * 11400714819323198485 + 15112296128964570371)"
+    " % 18446744073709551616) % 1152921504606846976 AS BIGINT)"
+)
+_FAST_LANE = (
+    "CAST(((CAST(xor(h, " + _FAST_SALT + ") AS HUGEINT) * 11400714819323198485)"
+    " % 18446744073709551616) // 16 AS BIGINT)"
+)
+
+MINHASH_FAST_SQL = (
+    "WITH " + _WORDS_CTE + """,
+hs AS (SELECT doc_num, list_transform(""" + _SHINGLES + ", s -> " + _hx("s") + """) AS hs FROM docs),
+sigs AS (
+  SELECT doc_num AS doc_id,
+    list_transform(range(0, 64), j ->
+      list_min(list_transform(hs, h -> """ + _FAST_LANE + """))) AS sig
+  FROM hs
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, sig,
+"""
+    + ",\n".join(
+        f"  md5(array_to_string(sig[{b * 8 + 1}:{(b + 1) * 8}], ',')) AS band{b}"
+        for b in range(8)
+    )
+    + """
+FROM sigs
+"""
+)
+
 _SIMHASH_CORE = (
     """
 hs AS (SELECT doc_num AS doc_id, list_transform("""
@@ -881,6 +913,7 @@ ORACLES = {
     "cell_dedupe": CELL_DEDUPE_SQL,
     "checkpoint_resume": CHECKPOINT_RESUME_SQL,
     "minhash_signature": MINHASH_SIGNATURE_SQL,
+    "minhash_fast": MINHASH_FAST_SQL,
     "lsh_dup_pairs": LSH_DUP_PAIRS_SQL,
     "simhash": SIMHASH_SQL,
     "simhash_pairs": SIMHASH_PAIRS_SQL,

@@ -592,6 +592,18 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-sized MinHash (k=64, 8 bands): one md5 per shingle total,
+    lanes via numpy multiply-shift — the 100 TB path beside the k=8 oracle
+    kernel."""
+    from .operators.dedup import minhash_signature_fast
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return minhash_signature_fast(d).select(
+        "doc_id", "sig", *[f"band{b}" for b in range(8)]
+    )
+
+
 def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs over originals + planted near-dups."""
     from .operators.dedup import lsh_candidate_pairs, minhash_signature
@@ -870,6 +882,7 @@ QUERIES = {
     "cell_dedupe": q_cell_dedupe,
     "checkpoint_resume": q_checkpoint_resume,
     "minhash_signature": q_minhash_signature,
+    "minhash_fast": q_minhash_fast,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,

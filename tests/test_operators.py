@@ -166,6 +166,43 @@ def test_simhash_and_jaccard_near_dups(spark):
     assert all(3 not in k for k in jp)
 
 
+def test_minhash_kernel_state_copy_matches_naive_and_scales_k(spark):
+    import hashlib
+
+    from docling_ocr_qwen3vl_spark.operators.dedup import _minhash_kernel
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    ws = text.split()
+    for k, n_bands in ((8, 2), (64, 8)):
+        got = _minhash_kernel(text, k, 3, n_bands)
+        naive = []
+        shingles = [" ".join(ws[i:i + 3]).encode() for i in range(len(ws) - 2)]
+        for j in range(k):
+            salt = f"#{j}".encode()
+            naive.append(min(int(hashlib.md5(s + salt).hexdigest()[:15], 16)
+                             for s in shingles))
+        assert list(got[:k]) == naive, (k, n_bands)
+        rows = k // n_bands
+        for b in range(n_bands):
+            want = hashlib.md5(
+                ",".join(map(str, naive[b * rows:(b + 1) * rows])).encode()
+            ).hexdigest()
+            assert got[k + b] == want
+    # k=64 end-to-end: 8 band columns, LSH still finds the planted pair
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " tail words"),
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(40))),
+    ])
+    sigs = minhash_signature(docs, k=64, n_bands=8)
+    assert [c for c in sigs.columns if c.startswith("band")] == [
+        f"band{b}" for b in range(8)
+    ]
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
+
+
 def test_simhash_pairs_recall_when_diff_bits_in_top_block(spark):
     """Pairs whose differing bits all sit in the TOP 20 bits were silently
     dropped by the old single-block join; pigeonhole banding must find every
