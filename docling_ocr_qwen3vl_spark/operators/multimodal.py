@@ -5,12 +5,12 @@ object-store refs) beside typed metadata; decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages so the
 bytes cross into Python once per batch, never per row.
 
-This container has no image/audio libraries, so the actual pixel/sample
-decode is STUBBED: ``media_features`` computes real byte-level features
-(length, digest, header bytes) plus a clearly-marked deterministic fake of
-the decoded shape; ``decode_media`` raises NotImplementedError unless a
-real backend (PIL/av) is importable.  The Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested.
+``media_features`` computes real byte-level features: length, digest, and
+TRUE pixel dimensions parsed from PNG (IHDR) / JPEG (SOF marker walk)
+headers — pure bytes, no image library.  Blobs without a known header keep
+a clearly-marked deterministic fake shape so the plumbing stays
+oracle-verifiable.  Only full pixel/sample decode needs PIL/av, which this
+container lacks: ``decode_media`` stays the import-gated production slot.
 """
 
 from __future__ import annotations
@@ -31,12 +31,73 @@ from pyspark.sql.types import (
 
 MEDIA_TYPES = ("image", "audio", "video")
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF markers that carry frame dimensions (baseline/progressive/lossless...)
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def parse_png_dims(data: bytes) -> tuple[int, int] | None:
+    """True pixel dimensions from a PNG header (pure bytes, no PIL):
+    8-byte signature, then the IHDR chunk whose first 8 data bytes are
+    big-endian width/height (offsets 16 and 20)."""
+    if len(data) < 24 or not data.startswith(_PNG_SIG) or data[12:16] != b"IHDR":
+        return None
+    width = int.from_bytes(data[16:20], "big")
+    height = int.from_bytes(data[20:24], "big")
+    if width == 0 or height == 0:
+        return None
+    return width, height
+
+
+def parse_jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    """True pixel dimensions from a JPEG header (pure bytes): walk the
+    marker segments from SOI until a SOF marker, whose payload is
+    [precision u8][height u16be][width u16be]."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    pos = 2
+    n = len(data)
+    while pos + 3 < n:
+        if data[pos] != 0xFF:
+            return None  # desynced / truncated
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if pos + 3 >= n:
+            return None
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if marker in _JPEG_SOF:
+            if pos + 9 > n:
+                return None
+            height = int.from_bytes(data[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(data[pos + 7 : pos + 9], "big")
+            if width == 0 or height == 0:
+                return None
+            return width, height
+        pos += 2 + seg_len
+    return None
+
+
+def parse_media_dims(data: bytes) -> tuple[int, int] | None:
+    """Byte-level decode of real image headers; None for anything else."""
+    return parse_png_dims(data) or parse_jpeg_dims(data)
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", StringType(), False),
         StructField("media_type", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("sha", StringType(), False),
+        # TRUE pixel dimensions when the blob carries a real PNG/JPEG
+        # header (byte-level parse, no PIL); null otherwise
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
         StructField("fake_width", IntegerType(), False),
         StructField("fake_height", IntegerType(), False),
     ]
@@ -66,10 +127,11 @@ def _features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             batch["doc_id"], batch["media_type"], batch["blob"]
         ):
             data = bytes(blob) if blob is not None else b""
-            # STUB decode: a real deployment replaces this branch with
-            # PIL.Image.open / av.open inside the same batch loop; the fake
-            # shape is a deterministic function of the header bytes so tests
-            # and oracles can verify the plumbing end-to-end.
+            # REAL byte-level decode for PNG/JPEG headers; the fake shape
+            # (a deterministic function of the leading bytes) remains for
+            # opaque blobs so the plumbing stays oracle-verifiable.  Full
+            # pixel decode (PIL/av) stays the gated decode_media slot.
+            dims = parse_media_dims(data)
             fake_w = (data[0] + 1) if data else 0
             fake_h = (data[1] + 1) if len(data) > 1 else 0
             rows.append(
@@ -78,6 +140,8 @@ def _features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                     media_type,
                     len(data),
                     hashlib.md5(data).hexdigest(),
+                    dims[0] if dims else None,
+                    dims[1] if dims else None,
                     fake_w,
                     fake_h,
                 )

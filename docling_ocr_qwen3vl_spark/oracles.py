@@ -724,8 +724,21 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
   CAST(strlen(text) AS BIGINT) AS n_bytes,
   md5(text) AS sha,
+  CAST(NULL AS INTEGER) AS width,
+  CAST(NULL AS INTEGER) AS height,
   CAST(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS fake_width,
   CAST(ascii(substr(text, 2, 1)) + 1 AS INTEGER) AS fake_height
+FROM documents
+"""
+
+# q_media_dimensions: the engine PARSES real headers; the oracle enumerates
+# the dimensions arithmetically (29-byte PNG header for even docs, 41-byte
+# JPEG with APP0+SOF0 for odd) — an actual end-to-end decode check
+MEDIA_DIMENSIONS_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(doc_id % 1920 + 16 AS INTEGER) AS width,
+  CAST(doc_id % 1080 + 16 AS INTEGER) AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 41 END AS BIGINT) AS n_bytes
 FROM documents
 """
 
@@ -921,6 +934,7 @@ ORACLES = {
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
+    "media_dimensions": MEDIA_DIMENSIONS_SQL,
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
     "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
     "ivf_cells": IVF_CELLS_SQL,

@@ -706,6 +706,48 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media)
 
 
+def q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real byte-level media decode: valid PNG/JPEG headers are synthesized
+    from doc_id with column expressions (unhex), and the Arrow-batched
+    parser recovers the true width/height — no image library involved.
+    Even docs get PNG (29-byte header), odd get JPEG with an APP0 segment
+    before the SOF0 marker (41 bytes, exercises the segment walk)."""
+    from .operators.multimodal import media_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    w = (F.col("doc_id") % 1920 + 16).cast("int")
+    h = (F.col("doc_id") % 1080 + 16).cast("int")
+
+    def hex8(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    def hex4(c):
+        return F.lpad(F.hex(c), 4, "0")
+
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),  # sig + IHDR len/name
+        hex8(w), hex8(h), F.lit("0806000000"),
+    )
+    jpeg_hex = F.concat(
+        F.lit(
+            "FFD8"                                    # SOI
+            "FFE000104A46494600010100000100010000"    # APP0 (len 16, JFIF)
+            "FFC0001108"                              # SOF0 (len 17, prec 8)
+        ),
+        hex4(h), hex4(w),
+        F.lit("03012200021101031101" "FFD9"),         # 3 components + EOI
+    )
+    blob = F.when(F.col("doc_id") % 2 == 0, F.unhex(png_hex)).otherwise(
+        F.unhex(jpeg_hex)
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        blob.alias("blob"),
+    )
+    return media_features(media).select("doc_id", "width", "height", "n_bytes")
+
+
 # ----------------------------------------------- parity long-tail (batch 4)
 def q_picture_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G12: per-picture description via the batched decoder path; the
@@ -890,6 +932,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
+    "media_dimensions": q_media_dimensions,
     "bpe_token_count": q_bpe_token_count,
     "rolling_fingerprint": q_rolling_fingerprint,
     "ivf_cells": q_ivf_cells,

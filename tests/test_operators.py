@@ -102,6 +102,37 @@ def test_enrichment_operators(spark):
     assert (out[3].out_text, out[3].language) == ("old", None)
 
 
+def test_media_header_parsers_pure_bytes():
+    from docling_ocr_qwen3vl_spark.operators.multimodal import (
+        parse_jpeg_dims,
+        parse_media_dims,
+        parse_png_dims,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    assert parse_png_dims(png) == (640, 480)
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + b"\x03" + bytes(9) + b"\xff\xd9")
+    assert parse_jpeg_dims(jpeg) == (640, 480)
+    assert parse_media_dims(png) == (640, 480)
+    assert parse_media_dims(jpeg) == (640, 480)
+    # negatives: garbage, truncation, zero dims, utf-8 text
+    assert parse_media_dims(b"just text bytes") is None
+    assert parse_media_dims(png[:20]) is None
+    assert parse_media_dims(jpeg[:24]) is None
+    assert parse_media_dims(b"") is None
+    zero = png[:16] + (0).to_bytes(4, "big") + png[20:]
+    assert parse_media_dims(zero) is None
+    # progressive JPEG (SOF2) also carries dims
+    sof2 = jpeg.replace(b"\xff\xc0", b"\xff\xc2")
+    assert parse_jpeg_dims(sof2) == (640, 480)
+
+
 def test_cell_dedupe_drops_overlaps_keeps_earlier(spark):
     from docling_ocr_qwen3vl_spark.operators.cell_dedupe import dedupe_cells
 
