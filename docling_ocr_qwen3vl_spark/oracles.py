@@ -23,13 +23,14 @@ docs AS (
 )
 """
 
-# html grammar variant (doc_num % 5, sources/synthetic.py:_html_payload):
-# the slot-1 body TEXT gains a deterministic suffix for the style-leak (v=2)
-# and charref (v=4) variants; tags/types/bboxes vary but span kind/order
-# stay identical across variants (the img is always the 3rd kept element).
+# html grammar variant (doc_num % 16, sources/synthetic.py:_html_payload):
+# the slot-1 body TEXT gains a deterministic suffix for the style-leak
+# (v=13) and charref (v=15) variants; tags/types/bboxes vary but span
+# kind/order stay identical across variants (the img is always the 3rd
+# kept element).  v<12 = flat fast-path grammar (the representative mix).
 _HTML_BODY_SUFFIX = (
-    "(CASE doc_num % 5 WHEN 2 THEN ' p{margin:0}' "
-    "WHEN 4 THEN ' & co' ELSE '' END)"
+    "(CASE doc_num % 16 WHEN 13 THEN ' p{margin:0}' "
+    "WHEN 15 THEN ' & co' ELSE '' END)"
 )
 
 # Flagship: the expected span stream, slot-enumerated.
@@ -325,29 +326,29 @@ kinds AS (
 )
 """
 
-# grammar variants (doc_num % 5): v=1 emits the nested li instead of the
-# body p; v=3's UPPERCASE h1 carries a malformed 3-int bbox -> NULL bbox;
-# v=2/v=4 suffix the body text (style leak / charref)
+# grammar variants (doc_num % 16): v=12 emits the nested li instead of the
+# body p; v=14's UPPERCASE h1 carries a malformed 3-int bbox -> NULL bbox;
+# v=13/v=15 suffix the body text (style leak / charref)
 HTML_ELEMENTS_SQL = (
     "WITH " + _WORDS_CTE + "," + _PAGES_CTE + r""",
 els AS (
   SELECT doc_id, doc_num, CAST(page_no AS INTEGER) AS page_no, s.slot_no AS seq,
     CASE WHEN s.slot_no = 0 THEN 'h1'
-         WHEN s.slot_no = 1 AND doc_num % 5 = 1 THEN 'li'
+         WHEN s.slot_no = 1 AND doc_num % 16 = 12 THEN 'li'
          ELSE 'p' END AS tag,
     CASE WHEN s.slot_no = 0 THEN 'heading'
-         WHEN s.slot_no = 1 AND doc_num % 5 = 1 THEN 'list_item'
+         WHEN s.slot_no = 1 AND doc_num % 16 = 12 THEN 'list_item'
          ELSE 'paragraph' END AS element_type,
     CASE s.slot_no
       WHEN 0 THEN array_to_string(ws[1:2], ' ')
       WHEN 1 THEN array_to_string(ws[3:8], ' ') || """ + _HTML_BODY_SUFFIX + r"""
       ELSE array_to_string(ws[9:10], ' ') END AS text,
-    CASE WHEN s.slot_no = 0 AND doc_num % 5 = 3 THEN NULL ELSE 100 END AS x1,
-    CASE WHEN s.slot_no = 0 AND doc_num % 5 = 3 THEN NULL
+    CASE WHEN s.slot_no = 0 AND doc_num % 16 = 14 THEN NULL ELSE 100 END AS x1,
+    CASE WHEN s.slot_no = 0 AND doc_num % 16 = 14 THEN NULL
          WHEN s.slot_no = 0 THEN 40 WHEN s.slot_no = 1 THEN 120
          ELSE 820 END AS y1,
-    CASE WHEN s.slot_no = 0 AND doc_num % 5 = 3 THEN NULL ELSE 900 END AS x2,
-    CASE WHEN s.slot_no = 0 AND doc_num % 5 = 3 THEN NULL
+    CASE WHEN s.slot_no = 0 AND doc_num % 16 = 14 THEN NULL ELSE 900 END AS x2,
+    CASE WHEN s.slot_no = 0 AND doc_num % 16 = 14 THEN NULL
          WHEN s.slot_no = 0 THEN 90 WHEN s.slot_no = 1 THEN 400
          ELSE 980 END AS y2
   FROM kinds
@@ -361,13 +362,13 @@ FROM els
 """
 )
 
-# v=3's heading has NO bbox -> full-region fallback cell (0,0,pw,ph)
+# v=14's heading has NO bbox -> full-region fallback cell (0,0,pw,ph)
 ELEMENT_CELLS_SQL = (
     "WITH " + _WORDS_CTE + "," + _PAGES_CTE + r""",
 els AS (
   SELECT doc_id, doc_num, CAST(page_no AS INTEGER) AS page_no,
     s.slot_no AS seq, pw, ph,
-    (s.slot_no = 0 AND doc_num % 5 = 3) AS no_bbox,
+    (s.slot_no = 0 AND doc_num % 16 = 14) AS no_bbox,
     CASE s.slot_no
       WHEN 0 THEN array_to_string(ws[1:2], ' ')
       WHEN 1 THEN array_to_string(ws[3:8], ' ') || """ + _HTML_BODY_SUFFIX + r"""

@@ -49,32 +49,35 @@ def _w(ws: Column, i: int, j: int) -> Column:
 def _html_payload(ws: Column, doc_num: Column) -> Column:
     """QwenVL HTML page: heading + body + boilerplate + image + tail.
 
-    ``doc_num % 5`` selects a grammar variant so the CORRECTNESS oracle
+    ``doc_num % 16`` selects a grammar variant so the CORRECTNESS oracle
     drives the quirk-exact STREAM parser end-to-end, not just the regex
     fast path (round-1 verdict: the corpus certified only the easy
-    grammar).  Expected elements stay slot-enumerable:
+    grammar).  12/16 of documents are flat well-formed HTML — real VLM
+    output is overwhelmingly flat (the fast path's raison d'etre), so the
+    corpus keeps that mix representative for throughput while every quirk
+    still gets hundreds of oracle-checked docs per sf.  Expected elements
+    stay slot-enumerable:
 
-      v=0  flat well-formed (regex fast path)           h1 / p / img / p
-      v=1  nested <ul><li> — only the li emits          h1 / li / img / p
-      v=2  <style> INSIDE the open <p> — its text       h1 / p+leak / img / p
-           leaks into the paragraph (reference quirk)
-      v=3  UPPERCASE tag + malformed 3-int bbox on h1   h1(no bbox) / p / img / p
-      v=4  charref &amp; in the body (fast-path bail)   h1 / p+' & co' / img / p
+      v<12  flat well-formed (regex fast path)           h1 / p / img / p
+      v=12  nested <ul><li> — only the li emits          h1 / li / img / p
+      v=13  <style> INSIDE the open <p> — its text       h1 / p+leak / img / p
+            leaks into the paragraph (reference quirk)
+      v=14  UPPERCASE tag + malformed 3-int bbox on h1   h1(no bbox) / p / img / p
+      v=15  charref &amp; in the body (fast-path bail)   h1 / p+' & co' / img / p
 
-    Only v=0 stays inside the fast-path grammar; v=1..4 each trip a
-    different bail-out (nesting, inner tag, uppercase, entity), property-
-    tested in tests/test_synthetic_quirks.py.
+    v=12..15 each trip a different fast-path bail-out (nesting, inner tag,
+    uppercase, entity), property-tested in tests/test_synthetic_quirks.py.
     """
-    v = doc_num % 5
+    v = doc_num % 16
     h1 = F.when(
-        v == 3,
+        v == 14,
         F.concat(F.lit('<H1 DATA-BBOX="100 40 900">'), _w(ws, 1, 2), F.lit("</H1>")),
     ).otherwise(
         F.concat(F.lit('<h1 data-bbox="100 40 900 90">'), _w(ws, 1, 2), F.lit("</h1>"))
     )
     body = (
         F.when(
-            v == 1,
+            v == 12,
             F.concat(
                 F.lit('<ul data-bbox="100 120 900 400">'
                       '<li data-bbox="100 120 900 400">'),
@@ -83,7 +86,7 @@ def _html_payload(ws: Column, doc_num: Column) -> Column:
             ),
         )
         .when(
-            v == 2,
+            v == 13,
             F.concat(
                 F.lit('<p data-bbox="100 120 900 400">'),
                 _w(ws, 3, 8),
@@ -91,7 +94,7 @@ def _html_payload(ws: Column, doc_num: Column) -> Column:
             ),
         )
         .when(
-            v == 4,
+            v == 15,
             F.concat(
                 F.lit('<p data-bbox="100 120 900 400">'),
                 _w(ws, 3, 8),
