@@ -822,6 +822,21 @@ ranked AS (
 SELECT c_custkey, c_name, revenue, rank FROM ranked WHERE rank <= 25
 """
 
+# batch twin of the streaming watermarked windowed agg: Spark's
+# window("ts", "1 hour").start on a UTC session == date_trunc('hour', ts)
+WINDOWED_EVENT_COUNTS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+USER_RUNNING_TOTALS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
 EVENTS_SESSIONIZE_SQL = """
 SELECT user_id, event_id,
   CAST(row_number() OVER w - 1 AS INTEGER) AS event_idx,
@@ -947,4 +962,6 @@ ORACLES = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "windowed_event_counts": WINDOWED_EVENT_COUNTS_SQL,
+    "user_running_totals": USER_RUNNING_TOTALS_SQL,
 }

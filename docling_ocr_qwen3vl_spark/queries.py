@@ -894,6 +894,25 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming watermarked windowed agg: tumbling
+    1-hour windows per event_type (same plan runs in both modes —
+    streaming/windowed.py; the stream test asserts stream == this)."""
+    from .streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState per-user accumulator:
+    final (n_events, total_value) per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 QUERIES = {
     "extract_interleaved_spans": q_extract_interleaved_spans,
     "extract_from_interleaved": q_extract_from_interleaved,
@@ -944,4 +963,6 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_sessionize": q_events_sessionize,
+    "windowed_event_counts": q_windowed_event_counts,
+    "user_running_totals": q_user_running_totals,
 }

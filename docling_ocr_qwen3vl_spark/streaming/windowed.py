@@ -1,0 +1,146 @@
+"""Native Structured-Streaming operators: watermarked windowed aggregation
+and a custom stateful per-key accumulator (applyInPandasWithState).
+
+The reference is strictly batch (SURVEY.md §2.5); these are the additive
+streaming operators a continuously-fed event/telemetry table needs.  Both
+have BATCH TWINS so the driver's DuckDB oracle can certify the semantics
+(`windowed_event_counts` / `user_running_totals` in queries.py), and the
+streaming tests assert stream output == batch twin on the same rows.
+
+Scale notes: the windowed agg is a standard partial-agg + state-store
+pattern — state is bounded by (watermark horizon x key cardinality), and
+late rows beyond the watermark are dropped instead of growing state
+forever.  The stateful operator keeps one row of state per user; Spark
+hash-partitions groups across executors, so state scales horizontally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + exact value sum.
+
+    Works on a batch OR streaming DataFrame (same plan both modes — that is
+    the point).  Money math in DECIMAL: double sums depend on partition
+    addition order and would break both the oracle hash-compare and
+    batch-vs-stream equality."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def start_windowed_stream(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    queryName: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+    output_dir: str | None = None,
+):
+    """Watermarked streaming version of ``windowed_event_counts``.
+
+    Append mode: a window row is emitted exactly once, when the watermark
+    (max event time - ``watermark``) passes the window end — late rows
+    inside the horizon still count; rows later than that are dropped
+    (bounded state, the north-star property at 100 TB/day event volumes).
+    Memory sink for tests; production sinks parquet/Iceberg the same way.
+    """
+    events = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    writer = (
+        windowed_event_counts(events)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if output_dir is not None:  # parquet sink survives query restarts
+        writer = writer.format("parquet").option("path", output_dir)
+    else:
+        writer = writer.format("memory").queryName(queryName)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user running totals via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+STATE_SCHEMA = "n long, total double"
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def _update_user_state(key, pdf_iter, state):
+    """One state row per user: (event count, value sum), updated per batch.
+
+    Pure accumulation — emits the user's CURRENT totals once per batch in
+    which the user appears (update semantics)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def start_user_totals_stream(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    queryName: str,
+    available_now: bool = True,
+):
+    """Custom stateful streaming aggregate (applyInPandasWithState):
+    running per-user event count + value sum across micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    totals = events.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
