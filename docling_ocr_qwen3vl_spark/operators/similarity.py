@@ -126,3 +126,83 @@ def bucketed_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means-refined IVF: Lloyd iterations over the deterministic init grid
+# ---------------------------------------------------------------------------
+
+KMEANS_SCALE = 1_000_000.0  # quantization: vq[k] = floor(v[k] * SCALE)
+
+
+def _init_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Quantized-scale init = _centroid_weight * SCALE: integer*1000 ->
+    exact doubles, identical in every engine."""
+    return [
+        [float(((j * 1103515245 + k * 12345) % 1000 - 500) * 1000.0)
+         for k in range(dim)]
+        for j in range(n_cells)
+    ]
+
+
+def _argmin_cell(centroids: list[list[float]]) -> Column:
+    """Nearest centroid of the quantized vector column ``vq`` by squared L2;
+    array_position argmin = lowest-cell tie-break.  The fold runs left-to-
+    right over dims, so the float sum order is pinned (the DuckDB oracle's
+    list_sum folds the same order -> bit-identical distances)."""
+    def dist2(c: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("vq"),
+                F.array(*[F.lit(x) for x in c]),
+                lambda q, w: (q.cast("double") - w) * (q.cast("double") - w),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    dists = F.array(*[dist2(c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_refined_cells(
+    embeddings: DataFrame,
+    vec_col: str = "v",
+    n_cells: int = N_IVF_CELLS,
+    iterations: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF cells after ``iterations`` Lloyd refinements of the deterministic
+    init grid — the production path where the fixed grid is too coarse.
+
+    Exactness design (what makes an ITERATIVE float algorithm oracle-
+    checkable across engines): vectors are quantized to integers
+    (floor(v*1e6)), so per-cell sums are EXACT bigints regardless of
+    partition order; each refined centroid component is one double division
+    sum/count (exact while |sum| < 2^53 — holds to ~10^9 vectors at unit
+    scale, noted for larger corpora); distances fold dims left-to-right.
+    Every float op is therefore order-pinned and reproducible bit-for-bit.
+
+    Plan shape per iteration: one codegen'd argmin projection + one
+    partial-agg groupBy on ``cell`` (n_cells rows out) + a driver collect
+    of n_cells rows (control-plane, like checkpoint lineage) — the vectors
+    themselves never shuffle.  Returns (vec_id, cell) under the final
+    centroids."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    vq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * F.lit(KMEANS_SCALE)).cast("long")
+    )
+    base = embeddings.select("vec_id", vq.alias("vq"))
+    centroids = _init_centroids(n_cells, dim)
+    for _ in range(iterations):
+        assigned = base.withColumn("cell", _argmin_cell(centroids))
+        stats = assigned.groupBy("cell").agg(
+            F.count("*").alias("cnt"),
+            *[F.sum(F.element_at("vq", k + 1)).alias(f"s{k}") for k in range(dim)],
+        ).collect()
+        refined = [list(c) for c in centroids]  # empty cells keep their centroid
+        for row in stats:
+            refined[row["cell"]] = [row[f"s{k}"] / row["cnt"] for k in range(dim)]
+        centroids = refined
+    return base.withColumn("cell", _argmin_cell(centroids)).select("vec_id", "cell")

@@ -884,6 +884,67 @@ FROM d
 """
 
 
+def _kmeans_sql(n_cells: int = 8, dim: int = 64, iterations: int = 2) -> str:
+    """k-means-refined IVF, re-derived independently: integer-quantized
+    vectors make per-cell sums exact, so the Lloyd iterations are
+    bit-reproducible (see operators/similarity.py::kmeans_refined_cells)."""
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id,
+        list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vq
+      FROM e),
+c0 AS (SELECT j.j, g.k,
+        CAST((((j.j * 1103515245 + (g.k - 1) * 12345) % 1000) - 500) * 1000.0
+             AS DOUBLE) AS c
+       FROM (SELECT unnest(generate_series(0, {n_cells - 1})) AS j) j
+       CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS k) g),
+c0v AS (SELECT j, list(c ORDER BY k) AS cv FROM c0 GROUP BY j)"""]
+    for i in range(iterations):
+        parts.append(f""",
+d{i} AS (
+  SELECT q.vec_id, c.j,
+    list_sum(list_transform(range(1, {dim + 1}),
+      k -> (CAST(q.vq[k] AS DOUBLE) - c.cv[k])
+         * (CAST(q.vq[k] AS DOUBLE) - c.cv[k]))) AS dist
+  FROM q CROSS JOIN c{i}v c
+),
+a{i} AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM d{i}) WHERE rn = 1
+),
+sums{i} AS (
+  SELECT a.cell, g.k, sum(q.vq[g.k]) AS s, count(*) AS cnt
+  FROM a{i} a JOIN q USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS k) g
+  GROUP BY a.cell, g.k
+),
+c{i + 1} AS (
+  SELECT p.j, p.k, COALESCE(CAST(s.s AS DOUBLE) / s.cnt, p.c) AS c
+  FROM c{i} p LEFT JOIN sums{i} s ON s.cell = p.j AND s.k = p.k
+),
+c{i + 1}v AS (SELECT j, list(c ORDER BY k) AS cv FROM c{i + 1} GROUP BY j)""")
+    n = iterations
+    parts.append(f""",
+dfin AS (
+  SELECT q.vec_id, c.j,
+    list_sum(list_transform(range(1, {dim + 1}),
+      k -> (CAST(q.vq[k] AS DOUBLE) - c.cv[k])
+         * (CAST(q.vq[k] AS DOUBLE) - c.cv[k]))) AS dist
+  FROM q CROSS JOIN c{n}v c
+)
+SELECT vec_id, CAST(j AS INTEGER) AS cell FROM (
+  SELECT vec_id, j,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+  FROM dfin) WHERE rn = 1
+""")
+    return "".join(parts)
+
+
+IVF_KMEANS_SQL = _kmeans_sql()
+
+
 # input_hint ingestion path: per doc 8 output spans —
 #  0-2 text (plain paragraphs W14/W58/W910), 3 media passthrough (ext://),
 #  4-7 html (h1 W12, p W38, minted img media://doc/2/2, p W910)
@@ -954,6 +1015,7 @@ ORACLES = {
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
     "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
     "ivf_cells": IVF_CELLS_SQL,
+    "ivf_kmeans": IVF_KMEANS_SQL,
     "picture_describe": PICTURE_DESCRIBE_SQL,
     "repo_id_normalize": REPO_ID_NORMALIZE_SQL,
     "elements_to_text": ELEMENTS_TO_TEXT_SQL,

@@ -697,6 +697,18 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_ivf_cells(emb).select("vec_id", "cell")
 
 
+def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cells after 2 Lloyd refinements of the deterministic centroid
+    grid — an ITERATIVE algorithm with an exact cross-engine oracle
+    (integer-quantized sums; see operators/similarity.py)."""
+    from .operators.similarity import kmeans_refined_cells
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return kmeans_refined_cells(emb).select("vec_id", "cell")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blob column -> Arrow-batched byte-level
     features (decode itself stubbed; see operators/multimodal.py)."""
@@ -955,6 +967,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "rolling_fingerprint": q_rolling_fingerprint,
     "ivf_cells": q_ivf_cells,
+    "ivf_kmeans": q_ivf_kmeans,
     "picture_describe": q_picture_describe,
     "repo_id_normalize": q_repo_id_normalize,
     "elements_to_text": q_elements_to_text,

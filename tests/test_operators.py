@@ -102,6 +102,48 @@ def test_enrichment_operators(spark):
     assert (out[3].out_text, out[3].language) == ("old", None)
 
 
+def test_kmeans_refined_cells_matches_numpy_reference(spark):
+    import numpy as np
+
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        KMEANS_SCALE,
+        _init_centroids,
+        kmeans_refined_cells,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n, cells, iters = 16, 60, 4, 2
+    vecs = np.round(rng.uniform(-1, 1, (n, dim)), 4)
+
+    # independent numpy implementation of the same exact-arithmetic spec
+    vq = np.floor(vecs * KMEANS_SCALE).astype(np.int64)
+    C = np.array(_init_centroids(cells, dim))
+    for _ in range(iters):
+        d = ((vq[:, None, :].astype(float) - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(cells):
+            members = vq[assign == j]
+            if len(members):
+                C[j] = members.sum(axis=0) / len(members)
+    d = ((vq[:, None, :].astype(float) - C[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1)
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)], ["vec_id", "v"]
+    ).select("vec_id", F.col("v").cast("array<double>").alias("v"))
+    got = {
+        r.vec_id: r.cell
+        for r in kmeans_refined_cells(emb, n_cells=cells, iterations=iters).collect()
+    }
+    assert got == {i: int(want[i]) for i in range(n)}
+    # the refinement must actually move assignments vs the raw init grid
+    init_assign = (
+        ((vq[:, None, :].astype(float) - np.array(_init_centroids(cells, dim))[None, :, :]) ** 2)
+        .sum(axis=2).argmin(axis=1)
+    )
+    assert (init_assign != want).any()
+
+
 def test_media_header_parsers_pure_bytes():
     from docling_ocr_qwen3vl_spark.operators.multimodal import (
         parse_jpeg_dims,
