@@ -102,11 +102,14 @@ def run_checkpointed_extract(
     run: CheckpointedRun,
     documents: DataFrame | None = None,
     fail_after_group: int | None = None,
+    max_groups: int | None = None,
 ) -> int:
     """Process the corpus group-by-group with lineage commits.
 
     Returns the number of groups processed in THIS invocation.
-    ``fail_after_group`` injects a crash (for the resume test).
+    ``fail_after_group`` injects a crash (for the resume test);
+    ``max_groups`` bounds this invocation (the async job surface advances
+    a run incrementally with it — see plans/jobs.py).
     """
     from ..plans.pipeline import extract_spans
     from ..sources.tables import load_table
@@ -158,4 +161,6 @@ def run_checkpointed_extract(
         processed += 1
         if fail_after_group is not None and group >= fail_after_group:
             raise RuntimeError(f"injected crash after group {group}")
+        if max_groups is not None and processed >= max_groups:
+            break
     return processed
