@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -171,3 +172,65 @@ def decode_media(media: DataFrame) -> DataFrame:  # pragma: no cover - gated
             "is exercised via media_features()."
         ) from exc
     raise NotImplementedError("wire PIL decode here on a real deployment")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts", DoubleType(), False),
+        StructField("frame_sha", StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing over video blobs: evenly-spaced samples with
+    timestamps + per-frame digests, as one Arrow-batched mapInPandas pass.
+
+    STUB kernel (no av library here): frame i = 16 bytes at offset
+    floor(i*n/n_frames), duration = n_bytes/1000 s — a real deployment
+    replaces exactly the two marked lines with av.open()/decode keyframe
+    sampling; the Spark plumbing (schema, batching, per-frame fan-out) is
+    what this certifies, and the byte-level outputs are oracle-checked."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                data = bytes(blob) if blob is not None else b""
+                n = len(data)
+                duration = n / 1000.0  # STUB: av container duration
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    frame = data[off : off + 16]  # STUB: decoded keyframe
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            round(i * duration / n_frames, 6),
+                            hashlib.md5(frame).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=FRAME_SCHEMA.names)
+
+    return media.select("doc_id", "blob").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_plan(features: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving fit-into-target resize plan from TRUE parsed
+    dimensions — pure column arithmetic (no pixels touched; the decode
+    stage consumes (out_w, out_h) when resizing for the vision encoder).
+    Never upscales; degenerate dims floor at 1 px."""
+    scale = F.least(
+        F.lit(float(target)) / F.col("width"),
+        F.lit(float(target)) / F.col("height"),
+        F.lit(1.0),
+    )
+    return features.filter(F.col("width").isNotNull()).select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("int").alias("out_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("int").alias("out_h"),
+    )

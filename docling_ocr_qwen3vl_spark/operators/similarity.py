@@ -206,3 +206,46 @@ def kmeans_refined_cells(
             refined[row["cell"]] = [row[f"s{k}"] / row["cnt"] for k in range(dim)]
         centroids = refined
     return base.withColumn("cell", _argmin_cell(centroids)).select("vec_id", "cell")
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched ANN search: top-k cosine neighbours per query, candidates
+    pruned to the query's IVF cell.
+
+    Plan: both sides get a cell id (pure projection), the query side
+    broadcasts (queries << corpus always), candidates meet via the cell
+    equi-join — the corpus is scanned once for ALL queries, never once per
+    query, and never cross-joined.  Ranking is one window partitioned by
+    query.  At scale, multi-probe = exploding each query to its p nearest
+    cells before the same join.  Output (q_id, n_id, cosine, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        ivf_cell(F.col(vec_col)).alias("cell"),
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q), "cell").select(
+        "q_id", "n_id", cosine(F.col("cv"), F.col("qv")).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "n_id",
+            F.round("sim", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

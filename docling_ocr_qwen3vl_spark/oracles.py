@@ -884,6 +884,64 @@ FROM d
 """
 
 
+# batched ANN: cells as in IVF_CELLS, queries vec_id < 10, top-3 per query
+KNN_BATCH_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, v, [{", ".join(_dist2(j, "v") for j in range(8))}] AS dists FROM e),
+cells AS (
+  SELECT vec_id, v, CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cell
+  FROM d
+),
+q AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < 10),
+c AS (SELECT vec_id AS n_id, v AS cv, cell FROM cells WHERE vec_id >= 10),
+scored AS (
+  SELECT q_id, n_id,
+    list_dot_product(cv, qv)
+      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM c JOIN q USING (cell)
+),
+ranked AS (
+  SELECT q_id, n_id, sim,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, round(sim, 6) AS cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+# frame sampling: videos are doc_id%3==2.  The blob is utf-8 of the text
+# and the driver corpus is pure ASCII (verified: octet_length(encode(text))
+# == length(text) for every row), so VARCHAR substring/md5 equal the
+# byte-level ops this DuckDB build lacks for BLOB.
+FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS t, strlen(text) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, t, n, s.i
+  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
+)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+  round(i * (n / 1000.0) / 4, 6) AS frame_ts,
+  md5(substring(t, CAST((i * n) // 4 AS INTEGER) + 1, 16)) AS frame_sha
+FROM f
+"""
+
+MEDIA_RESIZE_SQL = """
+WITH dims AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    CAST(doc_id % 1920 + 16 AS INTEGER) AS width,
+    CAST(doc_id % 1080 + 16 AS INTEGER) AS height
+  FROM documents
+),
+s AS (SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM dims)
+SELECT doc_id, width, height,
+  CAST(greatest(1, floor(width * scale)) AS INTEGER) AS out_w,
+  CAST(greatest(1, floor(height * scale)) AS INTEGER) AS out_h
+FROM s
+"""
+
+
 def _kmeans_sql(n_cells: int = 8, dim: int = 64, iterations: int = 2) -> str:
     """k-means-refined IVF, re-derived independently: integer-quantized
     vectors make per-cell sums exact, so the Lloyd iterations are
@@ -1012,6 +1070,9 @@ ORACLES = {
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_dimensions": MEDIA_DIMENSIONS_SQL,
+    "media_resize": MEDIA_RESIZE_SQL,
+    "frame_sample": FRAME_SAMPLE_SQL,
+    "knn_batch": KNN_BATCH_SQL,
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
     "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
     "ivf_cells": IVF_CELLS_SQL,

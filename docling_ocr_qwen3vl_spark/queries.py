@@ -709,6 +709,55 @@ def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refined_cells(emb).select("vec_id", "cell")
 
 
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-3 cosine neighbours for query vectors vec_id < 10,
+    candidates pruned to the query's IVF cell (ONE corpus scan for all
+    queries — the production shape of similarity search)."""
+    from .operators.similarity import ivf_knn
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return ivf_knn(emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing over video blobs: 4 evenly-spaced
+    byte-slice 'frames' with timestamps + digests (real av decode is the
+    marked stub; schema/batching/fan-out are real and oracle-checked)."""
+    from .operators.multimodal import attach_media_blob, sample_frames
+
+    videos = attach_media_blob(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "video"
+    )
+    return sample_frames(videos)
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit-into-224 resize plan from TRUE parsed header
+    dimensions (never upscales)."""
+    from .operators.multimodal import media_features, resize_plan
+
+    # synthesized real PNG headers, as in q_media_dimensions
+    d = _docs(spark, sf_dir).select("doc_id")
+    w = (F.col("doc_id") % 1920 + 16).cast("int")
+    h = (F.col("doc_id") % 1080 + 16).cast("int")
+
+    def hex8(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"), hex8(w), hex8(h),
+        F.lit("0806000000"),
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.unhex(png_hex).alias("blob"),
+    )
+    return resize_plan(media_features(media))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blob column -> Arrow-batched byte-level
     features (decode itself stubbed; see operators/multimodal.py)."""
@@ -964,6 +1013,9 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
     "media_dimensions": q_media_dimensions,
+    "media_resize": q_media_resize,
+    "frame_sample": q_frame_sample,
+    "knn_batch": q_knn_batch,
     "bpe_token_count": q_bpe_token_count,
     "rolling_fingerprint": q_rolling_fingerprint,
     "ivf_cells": q_ivf_cells,
