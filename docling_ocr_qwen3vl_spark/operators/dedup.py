@@ -399,3 +399,52 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dup_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the candidate-pair graph: every doc gets
+    the MIN doc_id of its component as the canonical representative — the
+    step that turns pairwise near-dup hits into keep/drop decisions.
+
+    Min-label propagation to fixpoint (the pure-DataFrame equivalent of
+    GraphX/GraphFrames connectedComponents): each iteration is one
+    edges x labels equi-join + a min-aggregate; ``localCheckpoint`` cuts
+    the growing lineage, and the loop exits as soon as no label changes
+    (iterations needed = component diameter; LSH/banding pair sets form
+    near-cliques, so 2-3 rounds in practice).  The fixpoint is a lattice
+    minimum — independent of iteration order and engine, which is what
+    lets a DuckDB RECURSIVE CTE recompute it as the oracle.
+
+    Output: (doc_id, component)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        refined = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            refined.join(labels.withColumnRenamed("comp", "prev"), "id")
+            .filter(F.col("comp") != F.col("prev"))
+            .count()
+        )
+        labels = refined
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))

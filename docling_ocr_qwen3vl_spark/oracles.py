@@ -273,6 +273,49 @@ FROM docs
 """
 )
 
+# Gopher-style rule gate (word count / mean word length / symbol ratio /
+# ellipsis-line ratio); '/' on integers is double division in BOTH engines
+QUALITY_FILTER_RULES_SQL = (
+    "WITH " + _WORDS_CTE + r""",
+m AS (
+  SELECT CAST(doc_num AS BIGINT) AS doc_id,
+    CAST(len(ws) AS DOUBLE) AS n,
+    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+      / CAST(len(ws) AS DOUBLE) AS mean_len,
+    (strlen(text) - strlen(replace(text, '#', ''))
+     + (strlen(text) - strlen(replace(text, '...', ''))) / 3)
+      / CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+    CAST(len(list_filter(string_split(text, chr(10)),
+                         ln -> regexp_matches(ln, '\.\.\.$'))) AS DOUBLE)
+      / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS ell_ratio
+  FROM docs
+)
+SELECT doc_id,
+  (n >= 5 AND n <= 100000) AS ok_word_count,
+  (mean_len >= 2.0 AND mean_len <= 12.0) AS ok_mean_word_len,
+  (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+  (ell_ratio <= 0.3) AS ok_ellipsis_lines,
+  ((n >= 5 AND n <= 100000) AND (mean_len >= 2.0 AND mean_len <= 12.0)
+   AND symbol_ratio <= 0.1 AND ell_ratio <= 0.3) AS keep
+FROM m
+"""
+)
+
+EVENTS_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_sec
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+  CAST(sum(CASE WHEN prev_sec IS NOT NULL AND sec - prev_sec > 1800
+                THEN 1 ELSE 0 END)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
+    AS session_id
+FROM o
+"""
+
 LANG_ID_SQL = (
     "WITH " + _WORDS_CTE + r""",
 hits AS (
@@ -621,6 +664,40 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, sig,
     )
     + """
 FROM sigs
+"""
+)
+
+# connected components over the LSH pair graph: the recursive CTE floods
+# every reachable label through the (bidirectional) edges; min per node ==
+# the lattice fixpoint the Spark min-label propagation converges to
+DUP_COMPONENTS_SQL = (
+    "WITH RECURSIVE " + _MUTANT_DOCS_CTE.replace("WITH", "").lstrip().lstrip(",")
+    + "," + _MINHASH_CORE + """,
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (
+    SELECT a.doc_id, b.doc_id AS b_doc
+    FROM banded a JOIN banded b ON a.band0 = b.band0
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+    FROM banded a JOIN banded b ON a.band1 = b.band1
+  ) pr(doc_id, b_doc)
+  JOIN banded a ON a.doc_id = pr.doc_id
+  JOIN banded b ON b.doc_id = pr.b_doc
+  WHERE pr.doc_id < pr.b_doc
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+lbl(id, l) AS (
+  SELECT doc_num, doc_num FROM docs
+  UNION
+  SELECT e.dst, lbl.l FROM lbl JOIN edges e ON e.src = lbl.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS component
+FROM lbl GROUP BY id
 """
 )
 
@@ -1049,6 +1126,8 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "quality_score": QUALITY_SCORE_SQL,
+    "quality_filter_rules": QUALITY_FILTER_RULES_SQL,
+    "events_sessions": EVENTS_SESSIONS_SQL,
     "lang_id": LANG_ID_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "html_elements": HTML_ELEMENTS_SQL,
@@ -1066,6 +1145,7 @@ ORACLES = {
     "simhash": SIMHASH_SQL,
     "simhash_pairs": SIMHASH_PAIRS_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dup_components": DUP_COMPONENTS_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,

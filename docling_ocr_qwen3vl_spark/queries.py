@@ -334,6 +334,59 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate (Gopher-style document heuristics, Rae et
+    al. 2021 §A1.1 — public): word-count bounds, mean-word-length bounds,
+    symbol ratio, and an ellipsis-line ratio; emits per-rule booleans plus
+    the final keep flag so downstream can audit WHY a doc was dropped."""
+    d = _docs_words(spark, sf_dir)
+    n = F.size("ws").cast("double")
+    mean_len = F.aggregate(
+        F.col("ws"), F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double") / n
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+    n_ellipsis = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n
+    lines = F.split("text", r"\n")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"\.\.\.$"))
+    ).cast("double")
+    ellipsis_line_ratio = ellipsis_lines / F.size(lines).cast("double")
+    ok_words = (n >= 5) & (n <= 100000)
+    ok_mean = (mean_len >= 2.0) & (mean_len <= 12.0)
+    ok_symbols = symbol_ratio <= 0.1
+    ok_ellipsis = ellipsis_line_ratio <= 0.3
+    return d.select(
+        "doc_id",
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        (ok_words & ok_mean & ok_symbols & ok_ellipsis).alias("keep"),
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    > 30 minutes; session_id = running count of gap-breaks (two windows,
+    one shuffle on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_timestamp truncates to whole seconds (== floor(epoch(ts)) in the
+    # oracle); TIMESTAMP_NTZ has no direct long cast under ANSI
+    sec = F.unix_timestamp(F.col("ts"))
+    gap_break = (sec - F.lag(sec, 1).over(w) > 1800).cast("int")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.coalesce(gap_break, F.lit(0)).alias("brk"),
+    ).select(
+        "user_id", "event_id",
+        F.sum("brk").over(w).cast("int").alias("session_id"),
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 neighbours of vec_id 0 (broadcast query)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -636,6 +689,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _docs_with_mutants(spark, sf_dir), block_cols=("lang",), threshold=0.5
     )
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    every doc labelled with its component's min doc_id (the canonical
+    keeper) — an ITERATIVE graph algorithm whose lattice fixpoint a DuckDB
+    recursive CTE recomputes independently."""
+    from .operators.dedup import dup_components, lsh_candidate_pairs, minhash_signature
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signature(docs))
+    return dup_components(docs.select("doc_id"), pairs)
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,6 +1057,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "quality_score": q_quality_score,
+    "quality_filter_rules": q_quality_filter_rules,
+    "events_sessions": q_events_sessions,
     "lang_id": q_lang_id,
     "knn_bruteforce": q_knn_bruteforce,
     "html_elements": q_html_elements,
@@ -1009,6 +1076,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_components": q_dup_components,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,

@@ -102,6 +102,20 @@ def test_enrichment_operators(spark):
     assert (out[3].out_text, out[3].language) == ("old", None)
 
 
+def test_dup_components_chain_and_singletons(spark):
+    from docling_ocr_qwen3vl_spark.operators.dedup import dup_components
+
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(8)])
+    # chain 0-1-2-3 (diameter 3 -> needs several propagation rounds),
+    # pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame([
+        Row(doc_a=1, doc_b=0), Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3),
+        Row(doc_a=5, doc_b=6),
+    ])
+    got = {r.doc_id: r.component for r in dup_components(ids, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
 def test_kmeans_refined_cells_matches_numpy_reference(spark):
     import numpy as np
 
