@@ -316,6 +316,27 @@ SELECT user_id, event_id,
 FROM o
 """
 
+PII_MASK_SQL = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' contact: user' || CAST(doc_id % 50 AS VARCHAR)
+             || '@example.com via https://ex.org/p?id='
+             || CAST(doc_id % 97 AS VARCHAR)
+             || ' or call 5551234' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+        'https?://[^\s]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\d{7,}', '<NUM>', 'g') AS masked
+FROM documents
+"""
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < (CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25 ELSE 10 END)
+"""
+
 LANG_ID_SQL = (
     "WITH " + _WORDS_CTE + r""",
 hits AS (
@@ -699,6 +720,14 @@ lbl(id, l) AS (
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS component
 FROM lbl GROUP BY id
 """
+)
+
+# survivors = component representatives (id == component min)
+DEDUP_SURVIVORS_SQL = DUP_COMPONENTS_SQL.replace(
+    """SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS component
+FROM lbl GROUP BY id""",
+    """SELECT CAST(id AS BIGINT) AS doc_id
+FROM lbl GROUP BY id HAVING min(l) = id""",
 )
 
 _SIMHASH_CORE = (
@@ -1127,6 +1156,9 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "quality_score": QUALITY_SCORE_SQL,
     "quality_filter_rules": QUALITY_FILTER_RULES_SQL,
+    "pii_mask": PII_MASK_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "dedup_survivors": DEDUP_SURVIVORS_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "lang_id": LANG_ID_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,

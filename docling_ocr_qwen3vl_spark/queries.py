@@ -334,6 +334,52 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data scrubbing: mask emails, URLs, and long digit runs with
+    typed placeholders (regexp cascade, order fixed: URLs first so their
+    query strings don't half-match the other patterns)."""
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"), (F.col("doc_id") % 50).cast("string"),
+        F.lit("@example.com via https://ex.org/p?id="),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(" or call 5551234"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+    masked = F.regexp_replace(payload, r"https?://[^\s]+", "<URL>")
+    masked = F.regexp_replace(masked, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    masked = F.regexp_replace(masked, r"\d{7,}", "<NUM>")
+    return _docs(spark, sf_dir).select("doc_id", masked.alias("masked"))
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    via an md5 hash gate — reproducible across runs/engines (no RNG state),
+    the property a resumable 100 TB sampling job needs."""
+    rates = F.when(F.col("lang") == "en", 50).when(F.col("lang") == "es", 25).otherwise(10)
+    gate = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(gate < rates)
+        .select("doc_id", "lang")
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: corpus -> MinHash-LSH pairs -> connected
+    components -> SURVIVORS (component representatives only), i.e. the
+    cleaned corpus a training run would actually read."""
+    from .operators.dedup import dup_components, lsh_candidate_pairs, minhash_signature
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    comps = dup_components(
+        docs.select("doc_id"), lsh_candidate_pairs(minhash_signature(docs))
+    )
+    return comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+
+
 def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based quality gate (Gopher-style document heuristics, Rae et
     al. 2021 §A1.1 — public): word-count bounds, mean-word-length bounds,
@@ -1058,6 +1104,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "quality_score": q_quality_score,
     "quality_filter_rules": q_quality_filter_rules,
+    "pii_mask": q_pii_mask,
+    "sample_stratified": q_sample_stratified,
+    "dedup_survivors": q_dedup_survivors,
     "events_sessions": q_events_sessions,
     "lang_id": q_lang_id,
     "knn_bruteforce": q_knn_bruteforce,
