@@ -1,5 +1,6 @@
-"""Native Structured-Streaming operators: watermarked windowed aggregation
-and a custom stateful per-key accumulator (applyInPandasWithState).
+"""Native Structured-Streaming operators: watermarked windowed aggregation,
+a custom stateful per-key accumulator (applyInPandasWithState), and
+at-least-once source dedup (dropDuplicatesWithinWatermark).
 
 The reference is strictly batch (SURVEY.md §2.5); these are the additive
 streaming operators a continuously-fed event/telemetry table needs.  Both
@@ -139,6 +140,44 @@ def start_user_totals_stream(
         totals.writeStream.outputMode("update")
         .format("memory")
         .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_event_dedup_stream(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming dedup for at-least-once sources: re-delivered events are
+    dropped by key within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per event_id for
+    ``watermark`` of event time and then expires it — bounded state, which
+    unbounded ``dropDuplicates`` cannot promise at 100 TB/day.  The
+    contract is dedup WITHIN the horizon: a duplicate arriving later than
+    the watermark may pass (by then the upstream retry window is long
+    closed).  Parquet sink so output accumulates across restarts."""
+    events = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    writer = (
+        events.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -94,3 +94,35 @@ def test_stateful_user_totals_match_batch(spark, sf_dir, tmp_path):
     for uid in want:
         assert final[uid][0] == want[uid][0], uid
         assert abs(final[uid][1] - want[uid][1]) < 1e-6, uid
+
+
+def test_event_dedup_stream_drops_redelivered_rows(spark, sf_dir, tmp_path):
+    """At-least-once source: re-delivering recent events (inside the
+    watermark horizon) must not duplicate output rows."""
+    from docling_ocr_qwen3vl_spark.streaming.windowed import start_event_dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(in_dir)
+
+    q = start_event_dedup_stream(spark, in_dir, ckpt, out_dir)
+    q.awaitTermination(120)
+    n_unique = events.select("event_id").distinct().count()
+    assert spark.read.parquet(out_dir).count() == n_unique
+
+    # redeliver the most recent 30 minutes of events (inside the 1 h
+    # watermark horizon) — a typical upstream retry
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    recent = events.filter(
+        F.col("ts") > F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
+    )
+    assert recent.count() > 0
+    recent.write.mode("append").parquet(in_dir)
+    q2 = start_event_dedup_stream(spark, in_dir, ckpt, out_dir)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_unique                      # no duplicates added
+    assert out.select("event_id").distinct().count() == n_unique
