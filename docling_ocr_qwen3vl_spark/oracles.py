@@ -316,6 +316,44 @@ SELECT user_id, event_id,
 FROM o
 """
 
+# overlapping 4-word chunks at stride 3; DuckDB list slices clamp at the
+# end exactly like Spark's slice()
+DOC_CHUNKS_SQL = (
+    "WITH " + _WORDS_CTE + """,
+c AS (
+  SELECT CAST(doc_num AS BIGINT) AS doc_id, ws, len(ws) AS n,
+         s.i AS chunk_id
+  FROM docs
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s
+  WHERE s.i <= (len(ws) - 1) // 3
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+  array_to_string(ws[chunk_id * 3 + 1 : chunk_id * 3 + 4], ' ') AS chunk_text,
+  CAST(len(ws[chunk_id * 3 + 1 : chunk_id * 3 + 4]) AS INTEGER) AS n_chunk_words
+FROM c
+"""
+)
+
+# global concat-and-chop packing: ONE plain cumsum here (the oracle need
+# not scale); the engine computes the same values with a two-level prefix
+PACK_SEQUENCES_SQL = (
+    "WITH " + _WORDS_CTE + """,
+t AS (SELECT CAST(doc_num AS BIGINT) AS doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens FROM docs),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  CAST(cb // 64 AS BIGINT) AS pack_id,
+  CAST(cb % 64 AS INTEGER) AS pack_offset,
+  ((cb // 64) <> ((cb + n_tokens - 1) // 64)) AS spans_boundary
+FROM c
+"""
+)
+
 PII_MASK_SQL = r"""
 SELECT doc_id,
   regexp_replace(
@@ -1156,6 +1194,8 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "quality_score": QUALITY_SCORE_SQL,
     "quality_filter_rules": QUALITY_FILTER_RULES_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
     "pii_mask": PII_MASK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "dedup_survivors": DEDUP_SURVIVORS_SQL,

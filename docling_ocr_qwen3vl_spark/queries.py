@@ -334,6 +334,22 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: overlapping 4-word windows at stride 3
+    (every word covered; trailing short chunk kept)."""
+    from .operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing plan (seq_len=64) via the scalable
+    two-level prefix sum — no single-reducer global window."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=64, group_width=100)
+
+
 def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data scrubbing: mask emails, URLs, and long digit runs with
     typed placeholders (regexp cascade, order fixed: URLs first so their
@@ -1104,6 +1120,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "quality_score": q_quality_score,
     "quality_filter_rules": q_quality_filter_rules,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
     "pii_mask": q_pii_mask,
     "sample_stratified": q_sample_stratified,
     "dedup_survivors": q_dedup_survivors,
