@@ -41,9 +41,10 @@ def extract(
     nested: bool = False,
     sf_dir: str = "",
 ) -> DataFrame:
-    """documents (doc_id, text, ...) -> interleaved text+media spans."""
-    from .plans.pipeline import extract_documents, extract_spans
+    """documents (doc_id, text, ...) -> interleaved text+media spans.
 
-    config = config or ExtractConfig()
-    fn = extract_documents if nested else extract_spans
-    return fn(spark, sf_dir, documents=documents, num_partitions=config.num_partitions)
+    Honors the per-stage enables in ``config`` as PLAN predicates — a
+    disabled stage's pages never enter the decode pass (see api.py)."""
+    from .api import extract as _extract
+
+    return _extract(spark, documents, config, sf_dir, nested)

@@ -60,3 +60,39 @@ def test_assemble_empty_input(spark):
         [], "doc_id string, offset int, kind string, text string, media_ref string"
     )
     assert assemble_documents(empty).count() == 0
+
+
+def test_extract_stage_enables_are_plan_predicates(spark, sf_dir):
+    from docling_ocr_qwen3vl_spark import ExtractConfig, extract
+    from docling_ocr_qwen3vl_spark.plans.pipeline import extract_spans
+    from docling_ocr_qwen3vl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    full = extract(spark, docs)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, extract_spans(spark, sf_dir, documents=docs).collect())
+    )
+    # disabling tables+layout removes exactly those pages' spans: no
+    # media:// refs minted from layout/table pages remain
+    cfg = ExtractConfig(do_tables=False, do_layout=False)
+    slim = extract(spark, docs, config=cfg)
+    slim_rows = slim.collect()
+    assert 0 < len(slim_rows) < full.count()
+    # remaining media refs can only come from html <img> (seq 2 on html
+    # pages); layout pages minted seq 0/1 media with no text siblings
+    from collections import Counter
+    kinds = Counter(r.kind for r in slim_rows)
+    assert kinds["text"] > 0
+    # plan predicate: the payload-kind filter reaches the plan
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    assert "payload_kind" in plan
+
+
+def test_plugin_factories_mirror_reference_surface():
+    from docling_ocr_qwen3vl_spark import api
+
+    assert set(api.ocr_engines()) == {"qwen3vl_ocr"}
+    assert set(api.layout_engines()) == {"qwen3vl_layout"}
+    assert set(api.table_structure_engines()) == {"qwen3vl_table"}
+    assert set(api.picture_classifier()) == {"qwen3vl_classifier"}
+    assert set(api.code_formula()) == {"qwen3vl_code_formula"}
