@@ -212,7 +212,7 @@ def main() -> None:
         # one retry below 0.5: the hi-core floor is the noise-sensitive
         # side, so it gets the extra draws.
         result["scaling"] = run_scaling(
-            SF_DIR, rep=64, reps=4, lo=8, hi=32, retry_below=0.5, max_attempts=3
+            SF_DIR, rep=64, reps=4, lo=8, hi=32, retry_below=0.5
         )
         # inference regime: 1ms/page simulated model latency (still 100-1000x
         # cheaper than the reference's real VLM) — the map stage dominates,
