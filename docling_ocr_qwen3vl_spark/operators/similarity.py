@@ -208,12 +208,42 @@ def kmeans_refined_cells(
     return base.withColumn("cell", _argmin_cell(centroids)).select("vec_id", "cell")
 
 
+def ivf_probe_cells(
+    vec: Column, n_cells: int = N_IVF_CELLS, n_probe: int = 1
+) -> Column:
+    """The ``n_probe`` nearest IVF cells of a vector, closest first
+    (ties -> lower cell id): sort (dist, cell) structs, slice, project.
+    Multi-probe is THE recall knob of IVF search — candidates from the
+    runner-up cells catch neighbours that fell across a cell boundary."""
+    idx = F.sequence(F.lit(1), F.size(vec))
+
+    def dist2(j: int) -> Column:
+        return F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, k: acc
+            + (F.element_at(vec, k) - _centroid_weight(j, k - 1))
+            * (F.element_at(vec, k) - _centroid_weight(j, k - 1)),
+        )
+
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(dist2(j).alias("d"), F.lit(j).alias("j"))
+                for j in range(n_cells)
+            ]
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["j"].cast("int"))
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
     vec_col: str = "v",
     id_col: str = "vec_id",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Batched ANN search: top-k cosine neighbours per query, candidates
     pruned to the query's IVF cell.
@@ -232,7 +262,7 @@ def ivf_knn(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
-        ivf_cell(F.col(vec_col)).alias("cell"),
+        F.explode(ivf_probe_cells(F.col(vec_col), n_probe=n_probe)).alias("cell"),
     )
     from pyspark.sql import Window
 

@@ -726,6 +726,45 @@ FROM sigs
 """
 )
 
+# fast-kernel (k=64/8-band) banded candidate pairs over the mutant corpus
+_FAST_BANDED_CORE = (
+    """
+hs AS (SELECT doc_num, list_transform(""" + _SHINGLES + ", s -> " + _hx("s") + """) AS hs FROM docs),
+fsig AS (
+  SELECT doc_num AS doc_id,
+    list_transform(range(0, 64), j ->
+      list_min(list_transform(hs, h -> """ + _FAST_LANE + """))) AS sig
+  FROM hs
+),
+fbanded AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        f"    md5(array_to_string(sig[{b * 8 + 1}:{(b + 1) * 8}], ',')) AS band{b}"
+        for b in range(8)
+    )
+    + """
+  FROM fsig
+)
+"""
+)
+
+LSH_DUP_PAIRS_FAST_SQL = (
+    "WITH " + _MUTANT_DOCS_CTE + "," + _FAST_BANDED_CORE + """
+SELECT DISTINCT da AS doc_a, db AS doc_b
+FROM (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT a.doc_id AS da, b.doc_id AS db FROM fbanded a "
+        f"JOIN fbanded b ON a.band{b} = b.band{b}"
+        for b in range(8)
+    )
+    + """
+) t
+WHERE da < db
+"""
+)
+
 # connected components over the LSH pair graph: the recursive CTE floods
 # every reachable label through the (bidirectional) edges; min per node ==
 # the lattice fixpoint the Spark min-label propagation converges to
@@ -1052,6 +1091,40 @@ ranked AS (
 SELECT q_id, n_id, round(sim, 6) AS cosine, rank FROM ranked WHERE rank <= 3
 """
 
+# multi-probe ANN: each query searches its 2 nearest cells (dist, cell)
+KNN_BATCH_PROBE2_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, v, [{", ".join(_dist2(j, "v") for j in range(8))}] AS dists FROM e),
+cells AS (
+  SELECT vec_id, v, CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cell
+  FROM d
+),
+qc AS (
+  SELECT vec_id, v, s.j AS cell, dists[s.j + 1] AS dist
+  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) s
+  WHERE vec_id < 10
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM qc) WHERE rn <= 2
+),
+c AS (SELECT vec_id AS n_id, v AS cv, cell FROM cells WHERE vec_id >= 10),
+scored AS (
+  SELECT q_id, n_id,
+    list_dot_product(cv, qv)
+      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM c JOIN q USING (cell)
+),
+ranked AS (
+  SELECT q_id, n_id, sim,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, round(sim, 6) AS cosine, rank FROM ranked WHERE rank <= 3
+"""
+
 # frame sampling: videos are doc_id%3==2.  The blob is utf-8 of the text
 # and the driver corpus is pure ASCII (verified: octet_length(encode(text))
 # == length(text) for every row), so VARCHAR substring/md5 equal the
@@ -1225,6 +1298,8 @@ ORACLES = {
     "media_resize": MEDIA_RESIZE_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
     "knn_batch": KNN_BATCH_SQL,
+    "knn_batch_probe2": KNN_BATCH_PROBE2_SQL,
+    "lsh_dup_pairs_fast": LSH_DUP_PAIRS_FAST_SQL,
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
     "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
     "ivf_cells": IVF_CELLS_SQL,

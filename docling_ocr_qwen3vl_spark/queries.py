@@ -848,6 +848,30 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10))
 
 
+def q_knn_batch_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN (n_probe=2): each query also searches its runner-up
+    IVF cell — the recall knob; candidates stay cell-bounded."""
+    from .operators.similarity import ivf_knn
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return ivf_knn(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        n_probe=2,
+    )
+
+
+def q_lsh_dup_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-kernel dedup end-to-end: k=64/8-band fast MinHash over
+    originals + planted near-dups -> banded candidate pairs."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signature_fast
+
+    sigs = minhash_signature_fast(_docs_with_mutants(spark, sf_dir))
+    return lsh_candidate_pairs(sigs)
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plumbing over video blobs: 4 evenly-spaced
     byte-slice 'frames' with timestamps + digests (real av decode is the
@@ -1151,6 +1175,8 @@ QUERIES = {
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "knn_batch": q_knn_batch,
+    "knn_batch_probe2": q_knn_batch_probe2,
+    "lsh_dup_pairs_fast": q_lsh_dup_pairs_fast,
     "bpe_token_count": q_bpe_token_count,
     "rolling_fingerprint": q_rolling_fingerprint,
     "ivf_cells": q_ivf_cells,

@@ -102,6 +102,47 @@ def test_enrichment_operators(spark):
     assert (out[3].out_text, out[3].language) == ("old", None)
 
 
+def test_ivf_multi_probe_recall_is_monotone(spark):
+    """More probes can only widen each query's candidate set, so recall
+    vs the exact top-k is monotone in n_probe; probing ALL cells equals
+    brute force exactly."""
+    import numpy as np
+
+    from docling_ocr_qwen3vl_spark.operators.similarity import ivf_knn
+
+    rng = np.random.RandomState(3)
+    vecs = np.round(rng.uniform(-1, 1, (80, 8)), 4)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)], ["vec_id", "v"]
+    ).select("vec_id", F.col("v").cast("array<double>").alias("v"))
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def neighbours(n_probe):
+        out = {}
+        for r in ivf_knn(corpus, queries, k=3, n_probe=n_probe).collect():
+            out.setdefault(r.q_id, set()).add(r.n_id)
+        return out
+
+    # exact top-3 via numpy
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    exact = {
+        q: {int(n) for n in sorted(
+            range(10, 80), key=lambda n: (-cos(vecs[q], vecs[n]), n))[:3]}
+        for q in range(10)
+    }
+
+    def recall(found):
+        return sum(len(found.get(q, set()) & exact[q]) for q in exact)
+
+    r1, r2, r_all = (recall(neighbours(p)) for p in (1, 2, 8))
+    assert r1 <= r2 <= r_all
+    assert r_all == 30                      # probing every cell == brute force
+    assert neighbours(8) == exact
+
+
 def test_dup_components_chain_and_singletons(spark):
     from docling_ocr_qwen3vl_spark.operators.dedup import dup_components
 
