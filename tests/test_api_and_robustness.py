@@ -96,3 +96,37 @@ def test_plugin_factories_mirror_reference_surface():
     assert set(api.table_structure_engines()) == {"qwen3vl_table"}
     assert set(api.picture_classifier()) == {"qwen3vl_classifier"}
     assert set(api.code_formula()) == {"qwen3vl_code_formula"}
+
+
+def test_decode_robust_to_pathological_payloads(spark):
+    """Adversarial inputs must degrade gracefully, never fail the task:
+    deep nesting, megabyte payloads, control characters, regex
+    metacharacters, and unterminated structures."""
+    deep = "<ul>" * 500 + "<li>deep</li>" + "</ul>" * 500
+    big = "<p>" + ("word " * 200000) + "</p>"                  # ~1 MB page
+    ctrl = "<p>a\x00b\x01c\x7fd</p>"
+    meta = "<p>.*+?[](){}|\\^$ specials</p>"
+    unterm = '<h1 data-bbox="1 2 3 4">never closed'
+    rows = [
+        Row(doc_id="deep", page_no=0, payload_kind="qwenvl_html", payload=deep,
+            page_width=1.0, page_height=1.0),
+        Row(doc_id="big", page_no=0, payload_kind="qwenvl_html", payload=big,
+            page_width=1.0, page_height=1.0),
+        Row(doc_id="ctrl", page_no=0, payload_kind="qwenvl_html", payload=ctrl,
+            page_width=1.0, page_height=1.0),
+        Row(doc_id="meta", page_no=0, payload_kind="plain_text", payload=meta,
+            page_width=1.0, page_height=1.0),
+        Row(doc_id="unterm", page_no=0, payload_kind="qwenvl_html", payload=unterm,
+            page_width=1.0, page_height=1.0),
+    ]
+    spans = number_spans(decode_pages(spark.createDataFrame(rows))).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.kind, r.text))
+    assert by_doc["deep"] == [("text", "deep")]        # only the li emits
+    assert len(by_doc["big"]) == 1 and by_doc["big"][0][1].startswith("word word")
+    assert by_doc["ctrl"][0][0] == "text"              # control chars survive
+    # unterminated element -> strict parse empty -> plain-text fallback
+    assert by_doc["unterm"] == [("text", "never closed")]
+    assert by_doc["meta"] == [("text", meta)]          # regex metachars inert
+                                                       # (plain kind: verbatim)
