@@ -25,11 +25,11 @@ docs AS (
 
 # html grammar variant (doc_num % 16, sources/synthetic.py:_html_payload):
 # the slot-1 body TEXT gains a deterministic suffix for the style-leak
-# (v=13) and charref (v=15) variants; tags/types/bboxes vary but span
+# (v=8) and charref (v=15) variants; tags/types/bboxes vary but span
 # kind/order stay identical across variants (the img is always the 3rd
 # kept element).  v<12 = flat fast-path grammar (the representative mix).
 _HTML_BODY_SUFFIX = (
-    "(CASE doc_num % 16 WHEN 13 THEN ' p{margin:0}' "
+    "(CASE doc_num % 16 WHEN 8 THEN ' p{margin:0}' "
     "WHEN 15 THEN ' & co' ELSE '' END)"
 )
 
@@ -430,7 +430,7 @@ kinds AS (
 
 # grammar variants (doc_num % 16): v=12 emits the nested li instead of the
 # body p; v=14's UPPERCASE h1 carries a malformed 3-int bbox -> NULL bbox;
-# v=13/v=15 suffix the body text (style leak / charref)
+# v=8/v=15 suffix the body text (style leak / charref)
 HTML_ELEMENTS_SQL = (
     "WITH " + _WORDS_CTE + "," + _PAGES_CTE + r""",
 els AS (

@@ -60,13 +60,18 @@ def _html_payload(ws: Column, doc_num: Column) -> Column:
 
       v<12  flat well-formed (regex fast path)           h1 / p / img / p
       v=12  nested <ul><li> — only the li emits          h1 / li / img / p
-      v=13  <style> INSIDE the open <p> — its text       h1 / p+leak / img / p
+      v=8   <style> INSIDE the open <p> — its text       h1 / p+leak / img / p
             leaks into the paragraph (reference quirk)
       v=14  UPPERCASE tag + malformed 3-int bbox on h1   h1(no bbox) / p / img / p
       v=15  charref &amp; in the body (fast-path bail)   h1 / p+' & co' / img / p
 
-    v=12..15 each trip a different fast-path bail-out (nesting, inner tag,
-    uppercase, entity), property-tested in tests/test_synthetic_quirks.py.
+    Quirk residues are chosen so each variant ACTUALLY OWNS html pages in
+    the (doc_num + page_no) %% 4 kind cycle: residues 8/12 are doc%%4==0
+    (html page 0 always); residue 13 would be doc%%4==1, which NEVER gets
+    an html page — caught by tests/test_reference_e2e_parity.py's
+    variant-coverage assertion.  Each variant trips a different fast-path
+    bail-out (nesting, inner tag, uppercase, entity); property-tested in
+    tests/test_synthetic_quirks.py.
     """
     v = doc_num % 16
     h1 = F.when(
@@ -86,7 +91,7 @@ def _html_payload(ws: Column, doc_num: Column) -> Column:
             ),
         )
         .when(
-            v == 13,
+            v == 8,
             F.concat(
                 F.lit('<p data-bbox="100 120 900 400">'),
                 _w(ws, 3, 8),

@@ -15,7 +15,7 @@ W38 = "w3 w4 w5 w6 w7 w8"
 W910 = "w9 w10"
 
 
-VARIANTS = (0, 12, 13, 14, 15)  # one flat + the four quirk variants
+VARIANTS = (0, 8, 12, 14, 15)  # one flat + the four quirk variants
 
 
 def _payloads(spark):
@@ -29,7 +29,7 @@ def _payloads(spark):
 def test_variant_fast_path_coverage(spark):
     p = _payloads(spark)
     assert hp._fast_parse(p[0], False) is not None      # flat -> fast path
-    for v in (12, 13, 14, 15):                          # quirks -> stream parser
+    for v in (8, 12, 14, 15):                          # quirks -> stream parser
         assert hp._fast_parse(p[v], False) is None, f"variant {v} must bail"
 
 
@@ -42,9 +42,9 @@ def test_variant_elements_match_slot_enumeration(spark):
         12: [("h1", W12, (100, 40, 900, 90), "heading"),
              ("li", W38, (100, 120, 900, 400), "list_item"),
              ("p", W910, (100, 820, 900, 980), "paragraph")],
-        13: [("h1", W12, (100, 40, 900, 90), "heading"),
-             ("p", W38 + " p{margin:0}", (100, 120, 900, 400), "paragraph"),
-             ("p", W910, (100, 820, 900, 980), "paragraph")],
+        8: [("h1", W12, (100, 40, 900, 90), "heading"),
+            ("p", W38 + " p{margin:0}", (100, 120, 900, 400), "paragraph"),
+            ("p", W910, (100, 820, 900, 980), "paragraph")],
         14: [("h1", W12, None, "heading"),
              ("p", W38, (100, 120, 900, 400), "paragraph"),
              ("p", W910, (100, 820, 900, 980), "paragraph")],
