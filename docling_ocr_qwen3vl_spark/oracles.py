@@ -369,6 +369,26 @@ SELECT doc_id,
 FROM documents
 """
 
+DECONTAMINATE_SQL = (
+    "WITH " + _WORDS_CTE + """,
+sh AS (
+  SELECT doc_num, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM docs
+),
+hashed AS (
+  SELECT doc_num, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+),
+eval_sh AS (SELECT DISTINCT h FROM hashed WHERE doc_num % 17 = 0),
+train_sh AS (
+  SELECT DISTINCT doc_num, h FROM hashed WHERE doc_num % 17 <> 0
+)
+SELECT CAST(doc_num AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+FROM train_sh JOIN eval_sh USING (h)
+GROUP BY doc_num
+"""
+)
+
 SAMPLE_STRATIFIED_SQL = """
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
@@ -1272,6 +1292,7 @@ ORACLES = {
     "pii_mask": PII_MASK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "dedup_survivors": DEDUP_SURVIVORS_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "lang_id": LANG_ID_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,

@@ -383,6 +383,35 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with the held-out eval set (docs with doc_id%17==0 stand in for
+    the benchmark).  Shingle both sides, hash the shingles (so only 8-byte
+    keys shuffle, never text), aggregate matches per doc — the standard
+    n-gram overlap check before a training run."""
+    from .operators.dedup import portable_hash64, word_shingles
+
+    d = _docs(spark, sf_dir)
+    sh = F.explode(F.array_distinct(word_shingles(F.col("text")))).alias("sh")
+    eval_sh = (
+        d.filter(F.col("doc_id") % 17 == 0)
+        .select(sh)
+        .select(portable_hash64(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    train_sh = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select("doc_id", sh)
+        .select("doc_id", portable_hash64(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    return (
+        train_sh.join(eval_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated_ngrams"))
+    )
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the dedup pipeline: corpus -> MinHash-LSH pairs -> connected
     components -> SURVIVORS (component representatives only), i.e. the
@@ -1149,6 +1178,7 @@ QUERIES = {
     "pii_mask": q_pii_mask,
     "sample_stratified": q_sample_stratified,
     "dedup_survivors": q_dedup_survivors,
+    "decontaminate": q_decontaminate,
     "events_sessions": q_events_sessions,
     "lang_id": q_lang_id,
     "knn_bruteforce": q_knn_bruteforce,
