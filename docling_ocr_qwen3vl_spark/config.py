@@ -89,8 +89,9 @@ class ExtractConfig:
     # scale knobs
     num_partitions: int | None = None  # None -> defaultParallelism * 2
     n_checkpoint_groups: int = 64
-    # near-dup sweep knobs (k=8/2 matches the small-SF oracle; production
-    # corpora run k=64, 8-16 bands — see operators/dedup.py)
+    # near-dup sweep knobs, consumed by operators.dedup.
+    # near_duplicate_components (k=8/2 matches the small-SF oracle;
+    # production corpora run k=64, 8-16 bands)
     minhash_k: int = 8
     minhash_bands: int = 2
 

@@ -132,10 +132,17 @@ class TorchQwenDecoder:
         device: str = "cuda",
         micro_batch: int = 8,
     ):
+        import dataclasses
+
         from ..config import Qwen3VlOcrOptions, normalize_model_repo_id
         from .generation import resolve_dtype_name, select_attention_backend
 
-        self.options = options or Qwen3VlOcrOptions()
+        if isinstance(options, str):  # legacy positional repo-id call form
+            options, model_repo_id = None, options
+        # copy: the constructor must not mutate a caller-shared options object
+        self.options = (
+            dataclasses.replace(options) if options is not None else Qwen3VlOcrOptions()
+        )
         if model_repo_id is not None:
             self.options.model_repo_id = normalize_model_repo_id(model_repo_id)
         self.device = device

@@ -62,11 +62,20 @@ def dedupe_cells(
     inter = iw * ih
     area_e = (F.col("e_r") - F.col("e_l")) * (F.col("e_b") - F.col("e_t"))
     area_c = (F.col("c_r") - F.col("c_l")) * (F.col("c_b") - F.col("c_t"))
-    iou = inter / (area_e + area_c - inter)
+    union = area_e + area_c - inter
+    identical = (
+        (F.col("e_l") == F.col("c_l")) & (F.col("e_t") == F.col("c_t"))
+        & (F.col("e_r") == F.col("c_r")) & (F.col("e_b") == F.col("c_b"))
+    )
+    # zero-area duplicates (l==r or t==b, common OCR noise) have union 0 and
+    # IoU 0/0=null; exactly coincident degenerate boxes must still dedupe
+    overlap = F.when(union > 0, inter / union).otherwise(
+        F.when(identical, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
     dropped = (
         later.join(earlier, list(keys))
         .filter(F.col("e_idx") < F.col("cell_index"))
-        .filter(iou >= F.lit(threshold))
+        .filter(overlap >= F.lit(threshold))
         .select(*keys, "cell_index")
         .distinct()
     )

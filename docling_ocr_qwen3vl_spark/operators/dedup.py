@@ -401,11 +401,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_duplicate_components(
+    docs: DataFrame,
+    config=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Config-wired near-dup sweep: fast MinHash at
+    (config.minhash_k, config.minhash_bands) -> banded candidate pairs ->
+    connected components.  This is where ExtractConfig's dedup knobs take
+    effect; the standalone operators keep explicit parameters."""
+    from ..config import ExtractConfig
+
+    cfg = config or ExtractConfig()
+    sigs = minhash_signature_fast(
+        docs, text_col=text_col, k=cfg.minhash_k, n_bands=cfg.minhash_bands
+    )
+    pairs = lsh_candidate_pairs(sigs, id_col=id_col)
+    return dup_components(docs.select(id_col), pairs, id_col=id_col)
+
+
 def dup_components(
     ids: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over the candidate-pair graph: every doc gets
     the MIN doc_id of its component as the canonical representative — the
@@ -447,4 +467,12 @@ def dup_components(
         labels = refined
         if changed == 0:
             break
+    else:
+        # returning non-converged labels would SILENTLY leave duplicates
+        # labelled as distinct components — fail loudly instead
+        raise RuntimeError(
+            f"dup_components did not converge within max_iter={max_iter} "
+            f"iterations ({changed} labels still changing); the pair graph "
+            "has a longer chain than expected — raise max_iter"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))

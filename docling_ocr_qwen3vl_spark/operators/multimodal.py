@@ -67,6 +67,8 @@ def parse_jpeg_dims(data: bytes) -> tuple[int, int] | None:
         if marker == 0xFF:  # fill byte
             pos += 1
             continue
+        if marker == 0xD9:  # EOI before any SOF: no dimensions in this file
+            return None
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers carry no length
             continue

@@ -38,10 +38,13 @@ def chunk_documents(
     ws = words(F.col(text_col))
     base = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n"))
     n_chunks = F.floor((F.col("n") - 1) / F.lit(stride)) + 1  # ceil(n / stride)
+    # empty docs emit ZERO chunks: sequence(0, -1) would yield a DESCENDING
+    # [0, -1] array (two spurious chunks, one with a negative id)
+    chunk_ids = F.when(
+        F.col("n") >= 1, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
     exploded = base.select(
-        "doc_id",
-        "ws",
-        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+        "doc_id", "ws", F.explode(chunk_ids).alias("chunk_id")
     )
     chunk = F.slice(
         F.col("ws"), F.col("chunk_id") * stride + 1, chunk_words
@@ -97,9 +100,14 @@ def pack_sequences(
             "n_tokens",
             F.floor(cum_before / seq_len).cast("long").alias("pack_id"),
             F.pmod(cum_before, F.lit(seq_len)).cast("int").alias("pack_offset"),
+            # a zero-token doc cannot span anything, even when its position
+            # lands exactly on a pack boundary
             (
-                F.floor(cum_before / seq_len)
-                != F.floor((cum_before + F.col("n_tokens") - 1) / seq_len)
+                (F.col("n_tokens") > 0)
+                & (
+                    F.floor(cum_before / seq_len)
+                    != F.floor((cum_before + F.col("n_tokens") - 1) / seq_len)
+                )
             ).alias("spans_boundary"),
         )
     )

@@ -349,7 +349,7 @@ c AS (
 SELECT doc_id, n_tokens,
   CAST(cb // 64 AS BIGINT) AS pack_id,
   CAST(cb % 64 AS INTEGER) AS pack_offset,
-  ((cb // 64) <> ((cb + n_tokens - 1) // 64)) AS spans_boundary
+  (n_tokens > 0 AND (cb // 64) <> ((cb + n_tokens - 1) // 64)) AS spans_boundary
 FROM c
 """
 )
@@ -372,8 +372,10 @@ FROM documents
 DECONTAMINATE_SQL = (
     "WITH " + _WORDS_CTE + """,
 sh AS (
-  SELECT doc_num, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM docs
+  SELECT doc_num, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    ELSE [array_to_string(ws, ' ')] END)) AS s FROM docs
 ),
 hashed AS (
   SELECT doc_num, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
@@ -648,10 +650,14 @@ def _hx(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
-# word-3-gram shingles over the ws array (docs always have >= 10 words)
+# word-3-gram shingles over the ws array.  The short-doc branch mirrors the
+# engine's word_shingles exactly (one SHORTER shingle when < 3 words; a ''
+# shingle for empty docs) so the oracles stay valid on ANY corpus, not just
+# the >= 10-word driver tables.
 _SHINGLES = (
-    "list_transform(range(1, len(ws) - 1), "
-    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+    "(CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+    "ELSE [array_to_string(ws, ' ')] END)"
 )
 
 # originals + planted near-duplicates (doc_id + 1,000,000, ' zz qq' appended)

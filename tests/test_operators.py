@@ -406,3 +406,75 @@ def test_embedding_near_dup_bucket_collision(spark):
              bucketed_near_duplicates(emb, threshold=0.95).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
     assert all(3 not in k for k in pairs)
+
+
+def test_review_fix_regressions(spark):
+    """Round-2 self-review fixes, each pinned."""
+    import dataclasses
+
+    from docling_ocr_qwen3vl_spark.config import Qwen3VlOcrOptions
+    from docling_ocr_qwen3vl_spark.operators.cell_dedupe import dedupe_cells
+    from docling_ocr_qwen3vl_spark.operators.dedup import (
+        near_duplicate_components,
+    )
+    from docling_ocr_qwen3vl_spark.operators.multimodal import parse_jpeg_dims
+    from docling_ocr_qwen3vl_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    # 1. empty/whitespace docs emit ZERO chunks (sequence(0,-1) descended)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=""), Row(doc_id=2, text="   "),
+        Row(doc_id=3, text="a b c d"),
+    ])
+    chunks = chunk_documents(docs).collect()
+    assert {r.doc_id for r in chunks} == {3}
+    assert all(r.chunk_id >= 0 for r in chunks)
+
+    # 2. zero-token doc on an exact pack boundary does not span it
+    packed = {r.doc_id: r for r in pack_sequences(
+        spark.createDataFrame([
+            Row(doc_id=0, text=" ".join("w" for _ in range(16))),
+            Row(doc_id=1, text=""),                       # lands at offset 0
+            Row(doc_id=2, text="tail words here"),
+        ]), seq_len=16, group_width=100).collect()}
+    assert packed[1].pack_offset == 0 and packed[1].n_tokens == 0
+    assert packed[1].spans_boundary is False
+
+    # 3. coincident zero-area duplicate cells still dedupe (IoU was 0/0)
+    cells = spark.createDataFrame([
+        Row(doc_id="d", page_no=0, cell_index=0, cell_text="a",
+            l=5.0, t=5.0, r=5.0, b=9.0),
+        Row(doc_id="d", page_no=0, cell_index=1, cell_text="dup",
+            l=5.0, t=5.0, r=5.0, b=9.0),
+        Row(doc_id="d", page_no=0, cell_index=2, cell_text="other",
+            l=7.0, t=5.0, r=7.0, b=9.0),                  # degenerate, distinct
+    ])
+    kept = sorted(r.cell_index for r in dedupe_cells(cells).collect())
+    assert kept == [0, 2]
+
+    # 4. early EOI before any SOF -> no garbage dimensions
+    assert parse_jpeg_dims(b"\xff\xd8\xff\xd9" + b"\xff\xc0\x00\x11" + bytes(40)) is None
+
+    # 5. legacy positional repo-id call form + no caller-options mutation
+    from docling_ocr_qwen3vl_spark.inference.decoder import TorchQwenDecoder
+    import pytest as _pytest
+    with _pytest.raises(ImportError):
+        TorchQwenDecoder("/c/models--own--rep")
+    shared = Qwen3VlOcrOptions(attn_implementation="flash_attention_2")
+    before = dataclasses.asdict(shared)
+    with _pytest.raises(ImportError):
+        TorchQwenDecoder(shared, model_repo_id="/c/models--a--b")
+    assert dataclasses.asdict(shared) == before
+
+    # 6. ExtractConfig minhash knobs flow through the wired sweep
+    from docling_ocr_qwen3vl_spark.config import ExtractConfig
+    base = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text=base), Row(doc_id=2, text=base + " tail words"),
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(40))),
+    ])
+    comps = {r.doc_id: r.component for r in near_duplicate_components(
+        corpus, ExtractConfig(minhash_k=16, minhash_bands=4)).collect()}
+    assert comps[1] == comps[2] == 1 and comps[3] == 3
