@@ -317,7 +317,9 @@ FROM o
 """
 
 # overlapping 4-word chunks at stride 3; DuckDB list slices clamp at the
-# end exactly like Spark's slice()
+# end exactly like Spark's slice().  The 0..63 chunk-id series bounds the
+# enumeration at 193-word docs — the driver corpus caps at 99 words
+# (checked); widen the series alongside any corpus change
 DOC_CHUNKS_SQL = (
     "WITH " + _WORDS_CTE + """,
 c AS (
