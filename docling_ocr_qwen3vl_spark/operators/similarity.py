@@ -71,6 +71,18 @@ def _centroid_weight(j: int, k: Column) -> Column:
     )
 
 
+def _cell_dist2(vec: Column, j: int) -> Column:
+    """Squared L2 distance of ``vec`` to deterministic centroid ``j``."""
+    idx = F.sequence(F.lit(1), F.size(vec))
+    return F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, k: acc
+        + (F.element_at(vec, k) - _centroid_weight(j, k - 1))
+        * (F.element_at(vec, k) - _centroid_weight(j, k - 1)),
+    )
+
+
 def ivf_cell(vec: Column, n_cells: int = N_IVF_CELLS) -> Column:
     """IVF coarse quantizer: nearest deterministic centroid by squared L2.
 
@@ -215,21 +227,10 @@ def ivf_probe_cells(
     (ties -> lower cell id): sort (dist, cell) structs, slice, project.
     Multi-probe is THE recall knob of IVF search — candidates from the
     runner-up cells catch neighbours that fell across a cell boundary."""
-    idx = F.sequence(F.lit(1), F.size(vec))
-
-    def dist2(j: int) -> Column:
-        return F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, k: acc
-            + (F.element_at(vec, k) - _centroid_weight(j, k - 1))
-            * (F.element_at(vec, k) - _centroid_weight(j, k - 1)),
-        )
-
     ranked = F.array_sort(
         F.array(
             *[
-                F.struct(dist2(j).alias("d"), F.lit(j).alias("j"))
+                F.struct(_cell_dist2(vec, j).alias("d"), F.lit(j).alias("j"))
                 for j in range(n_cells)
             ]
         )

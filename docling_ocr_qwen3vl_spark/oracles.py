@@ -1095,15 +1095,29 @@ FROM d
 """
 
 
-# batched ANN: cells as in IVF_CELLS, queries vec_id < 10, top-3 per query
-KNN_BATCH_SQL = f"""
+# batched ANN oracle, generated for both probe depths: rn <= 1 ranking is
+# the same argmin-with-lowest-cell-tie-break the Spark side's
+# array_position / array_sort uses
+def _knn_batch_sql(n_probe: int) -> str:
+    dists = ", ".join(_dist2(j, "v") for j in range(8))
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-d AS (SELECT vec_id, v, [{", ".join(_dist2(j, "v") for j in range(8))}] AS dists FROM e),
+d AS (SELECT vec_id, v, [{dists}] AS dists FROM e),
 cells AS (
   SELECT vec_id, v, CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cell
   FROM d
 ),
-q AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < 10),
+qc AS (
+  SELECT vec_id, v, s.j AS cell, dists[s.j + 1] AS dist
+  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) s
+  WHERE vec_id < 10
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM qc) WHERE rn <= {n_probe}
+),
 c AS (SELECT vec_id AS n_id, v AS cv, cell FROM cells WHERE vec_id >= 10),
 scored AS (
   SELECT q_id, n_id,
@@ -1119,39 +1133,9 @@ ranked AS (
 SELECT q_id, n_id, round(sim, 6) AS cosine, rank FROM ranked WHERE rank <= 3
 """
 
-# multi-probe ANN: each query searches its 2 nearest cells (dist, cell)
-KNN_BATCH_PROBE2_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-d AS (SELECT vec_id, v, [{", ".join(_dist2(j, "v") for j in range(8))}] AS dists FROM e),
-cells AS (
-  SELECT vec_id, v, CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cell
-  FROM d
-),
-qc AS (
-  SELECT vec_id, v, s.j AS cell, dists[s.j + 1] AS dist
-  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) s
-  WHERE vec_id < 10
-),
-q AS (
-  SELECT vec_id AS q_id, v AS qv, cell FROM (
-    SELECT vec_id, v, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-    FROM qc) WHERE rn <= 2
-),
-c AS (SELECT vec_id AS n_id, v AS cv, cell FROM cells WHERE vec_id >= 10),
-scored AS (
-  SELECT q_id, n_id,
-    list_dot_product(cv, qv)
-      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
-  FROM c JOIN q USING (cell)
-),
-ranked AS (
-  SELECT q_id, n_id, sim,
-    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
-  FROM scored
-)
-SELECT q_id, n_id, round(sim, 6) AS cosine, rank FROM ranked WHERE rank <= 3
-"""
+
+KNN_BATCH_SQL = _knn_batch_sql(1)
+KNN_BATCH_PROBE2_SQL = _knn_batch_sql(2)
 
 # frame sampling: videos are doc_id%3==2.  The blob is utf-8 of the text
 # and the driver corpus is pure ASCII (verified: octet_length(encode(text))

@@ -865,6 +865,18 @@ def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refined_cells(emb).select("vec_id", "cell")
 
 
+def _png_header_hex(w, h):
+    """Hex string of a valid 29-byte PNG header with the given dimensions
+    (signature + IHDR length/name + big-endian w/h + bit-depth tail)."""
+    def hex8(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    return F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        hex8(w), hex8(h), F.lit("0806000000"),
+    )
+
+
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN: top-3 cosine neighbours for query vectors vec_id < 10,
     candidates pruned to the query's IVF cell (ONE corpus scan for all
@@ -922,14 +934,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id")
     w = (F.col("doc_id") % 1920 + 16).cast("int")
     h = (F.col("doc_id") % 1080 + 16).cast("int")
-
-    def hex8(c):
-        return F.lpad(F.hex(c), 8, "0")
-
-    png_hex = F.concat(
-        F.lit("89504E470D0A1A0A" "0000000D" "49484452"), hex8(w), hex8(h),
-        F.lit("0806000000"),
-    )
+    png_hex = _png_header_hex(w, h)
     media = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit("image").alias("media_type"),
@@ -958,17 +963,11 @@ def q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id")
     w = (F.col("doc_id") % 1920 + 16).cast("int")
     h = (F.col("doc_id") % 1080 + 16).cast("int")
-
-    def hex8(c):
-        return F.lpad(F.hex(c), 8, "0")
+    png_hex = _png_header_hex(w, h)
 
     def hex4(c):
         return F.lpad(F.hex(c), 4, "0")
 
-    png_hex = F.concat(
-        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),  # sig + IHDR len/name
-        hex8(w), hex8(h), F.lit("0806000000"),
-    )
     jpeg_hex = F.concat(
         F.lit(
             "FFD8"                                    # SOI

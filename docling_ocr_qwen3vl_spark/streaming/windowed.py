@@ -20,6 +20,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _event_stream(spark, input_dir: str, watermark: str | None = None):
+    """File-source stream of event parquet drops (shared by every operator
+    below); optional event-time watermark."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    return stream.withWatermark("ts", watermark) if watermark else stream
+
 
 def windowed_event_counts(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window per event_type: count + exact value sum.
@@ -62,15 +78,7 @@ def start_windowed_stream(
     (bounded state, the north-star property at 100 TB/day event volumes).
     Memory sink for tests; production sinks parquet/Iceberg the same way.
     """
-    events = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("maxFilesPerTrigger", 8)
-        .parquet(input_dir)
-        .withWatermark("ts", watermark)
-    )
+    events = _event_stream(spark, input_dir, watermark)
     writer = (
         windowed_event_counts(events)
         .writeStream.outputMode("append")
@@ -121,14 +129,7 @@ def start_user_totals_stream(
     running per-user event count + value sum across micro-batches."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    events = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("maxFilesPerTrigger", 8)
-        .parquet(input_dir)
-    )
+    events = _event_stream(spark, input_dir)
     totals = events.groupBy("user_id").applyInPandasWithState(
         _update_user_state,
         outputStructType=OUTPUT_SCHEMA,
@@ -164,15 +165,8 @@ def start_event_dedup_stream(
     contract is dedup WITHIN the horizon: a duplicate arriving later than
     the watermark may pass (by then the upstream retry window is long
     closed).  Parquet sink so output accumulates across restarts."""
-    events = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("maxFilesPerTrigger", 8)
-        .parquet(input_dir)
-        .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["event_id"])
+    events = _event_stream(spark, input_dir, watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
     )
     writer = (
         events.writeStream.outputMode("append")
