@@ -793,6 +793,38 @@ WHERE da < db
 """
 )
 
+# fast-kernel components: same recursive-CTE fixpoint over the k=64/8-band
+# pair graph (the config-wired near_duplicate_components sweep)
+DUP_COMPONENTS_FAST_SQL = (
+    "WITH RECURSIVE " + _MUTANT_DOCS_CTE + "," + _FAST_BANDED_CORE + """,
+prs AS (
+  SELECT DISTINCT da AS doc_a, db AS doc_b
+  FROM (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT a.doc_id AS da, b.doc_id AS db FROM fbanded a "
+        f"JOIN fbanded b ON a.band{b} = b.band{b}"
+        for b in range(8)
+    )
+    + """
+) t
+  WHERE da < db
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+lbl(id, l) AS (
+  SELECT doc_num, doc_num FROM docs
+  UNION
+  SELECT e.dst, lbl.l FROM lbl JOIN edges e ON e.src = lbl.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS component
+FROM lbl GROUP BY id
+"""
+)
+
 # connected components over the LSH pair graph: the recursive CTE floods
 # every reachable label through the (bidirectional) edges; min per node ==
 # the lattice fixpoint the Spark min-label propagation converges to
@@ -1304,6 +1336,7 @@ ORACLES = {
     "simhash_pairs": SIMHASH_PAIRS_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "dup_components": DUP_COMPONENTS_SQL,
+    "dup_components_fast": DUP_COMPONENTS_FAST_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,

@@ -794,6 +794,19 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_components(docs.select("doc_id"), pairs)
 
 
+def q_dup_components_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The config-wired production dedup sweep end-to-end: fast k=64/8-band
+    MinHash -> banded pairs -> connected components (the operator behind
+    ExtractConfig.minhash_k/minhash_bands)."""
+    from .config import ExtractConfig
+    from .operators.dedup import near_duplicate_components
+
+    return near_duplicate_components(
+        _docs_with_mutants(spark, sf_dir),
+        ExtractConfig(minhash_k=64, minhash_bands=8),
+    )
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane sign buckets over the embedding column."""
     from .operators.similarity import assign_buckets
@@ -1197,6 +1210,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_components": q_dup_components,
+    "dup_components_fast": q_dup_components_fast,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
