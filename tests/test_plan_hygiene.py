@@ -13,7 +13,7 @@ ALLOWED_NESTED_LOOP = {"knn_bruteforce"}
 
 # driver-loop queries execute jobs during plan CONSTRUCTION; they are
 # audited separately in PLANS.md and skipped here to keep the sweep fast
-ITERATIVE = {"ivf_kmeans", "dup_components", "dedup_survivors"}
+ITERATIVE = {"ivf_kmeans", "dup_components", "dup_components_fast", "dedup_survivors"}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - ITERATIVE))
