@@ -29,13 +29,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = (
     "extract_interleaved_spans",
-    "paragraph_split",
+    "paragraph_cells",
     "html_elements",
     "dedup_exact",
     "minhash_signature",
     "minhash_fast",
     "simhash",
-    "quality_score",
+    "doc_stats",
     "knn_bruteforce",
 )
 

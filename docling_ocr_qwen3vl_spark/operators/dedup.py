@@ -23,6 +23,8 @@ from boilerplate-heavy corpora are split by the skew-join rule).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -236,9 +238,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     cartesian) over every band column present in the signature table,
     union, distinct.  Output: (doc_a, doc_b), doc_a < doc_b.
     """
-    bands = [c for c in signatures.columns if c.startswith("band")]
+    bands = [c for c in signatures.columns if re.fullmatch(r"band\d+", c)]
     if not bands:
-        raise ValueError("signature table has no band columns")
+        raise ValueError("signature table has no bandN columns")
     pairs = None
     for band in bands:
         left = signatures.select(F.col(id_col).alias("doc_a"), F.col(band).alias("bk"))

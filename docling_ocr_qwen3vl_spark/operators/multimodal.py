@@ -219,11 +219,14 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.select("doc_id", "blob").mapInPandas(batches, FRAME_SCHEMA)
 
 
-def resize_plan(features: DataFrame, target: int = 224) -> DataFrame:
+def resize_plan(
+    features: DataFrame, target: int = 224, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Aspect-preserving fit-into-target resize plan from TRUE parsed
     dimensions — pure column arithmetic (no pixels touched; the decode
     stage consumes (out_w, out_h) when resizing for the vision encoder).
-    Never upscales; degenerate dims floor at 1 px."""
+    Never upscales; degenerate dims floor at 1 px.  ``passthrough`` names
+    extra feature columns to carry along unchanged."""
     scale = F.least(
         F.lit(float(target)) / F.col("width"),
         F.lit(float(target)) / F.col("height"),
@@ -231,6 +234,7 @@ def resize_plan(features: DataFrame, target: int = 224) -> DataFrame:
     )
     return features.filter(F.col("width").isNotNull()).select(
         "doc_id",
+        *passthrough,
         "width",
         "height",
         F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("int").alias("out_w"),

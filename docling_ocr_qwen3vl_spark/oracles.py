@@ -92,59 +92,25 @@ FROM elems
 """
 )
 
-BOILERPLATE_STRIP_SQL = r"""
+# q_text_cleanup: T2 strip-tags (independent regex derivation), M4 think
+# strip (the oracle knows the stripped form is exactly the original text),
+# M10 repo-id normalization (enumerated arithmetically)
+TEXT_CLEANUP_SQL = r"""
 SELECT doc_id,
   regexp_replace(
     trim(regexp_replace(
       '<div data-bbox="0 0 10 10">' || text || '</div><style>p{margin:0}</style>',
       '<[^>]+>', ' ', 'g')),
-    '\s+', ' ', 'g') AS clean_text
+    '\s+', ' ', 'g') AS clean_text,
+  text AS out_text,
+  'owner' || CAST(doc_id % 7 AS VARCHAR) || '/repo' || CAST(doc_id % 5 AS VARCHAR) AS repo_id
 FROM documents
 """
 
-PARAGRAPH_SPLIT_SQL = (
-    "WITH "
-    + _WORDS_CTE
-    + r""",
-paras AS (
-  SELECT doc_id, doc_num, s.slot_no AS seq,
-    CASE WHEN doc_num % 4 = 0 THEN
-      (CASE s.slot_no
-        WHEN 0 THEN array_to_string(ws[1:2], ' ')
-        WHEN 1 THEN array_to_string(ws[3:4], ' ')
-        WHEN 2 THEN array_to_string(ws[5:6], ' ') END)
-    ELSE
-      (CASE s.slot_no
-        WHEN 0 THEN array_to_string(ws[1:4], ' ')
-        WHEN 1 THEN array_to_string(ws[5:8], ' ') || chr(10) || array_to_string(ws[9:10], ' ')
-        END)
-    END AS paragraph
-  FROM docs
-  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS slot_no) s
-)
-SELECT CAST(doc_num AS BIGINT) AS doc_id, CAST(seq AS INTEGER) AS seq, paragraph
-FROM paras WHERE paragraph IS NOT NULL
-"""
-)
-
-THINK_STRIP_SQL = """
-SELECT doc_id, text AS out_text FROM documents
-"""
-
-JSON_KEY_REPAIR_SQL = """
+JSON_REPAIR_EXPRS_SQL = """
 SELECT doc_id,
-  '{"y1":' || CAST(n_chars % 997 AS VARCHAR) || ',"x2":5}' AS fixed
-FROM documents
-"""
-
-TRAILING_COMMA_STRIP_SQL = """
-SELECT doc_id,
-  '[{"a":' || CAST(n_chars % 31 AS VARCHAR) || '}]' AS fixed
-FROM documents
-"""
-
-EXTRACT_JSON_BLOCK_SQL = """
-SELECT doc_id,
+  '{"y1":' || CAST(n_chars % 997 AS VARCHAR) || ',"x2":5}' AS fixed_key,
+  '[{"a":' || CAST(n_chars % 31 AS VARCHAR) || '}]' AS fixed_commas,
   '{"v":' || CAST(n_chars % 113 AS VARCHAR) || '}' AS block
 FROM documents
 """
@@ -241,17 +207,16 @@ SELECT doc_id, round(avg(confidence), 6) AS layout_score
 FROM clusters GROUP BY doc_id
 """
 
-TOKEN_COUNT_SQL = (
-    "WITH " + _WORDS_CTE + """
-SELECT CAST(doc_num AS BIGINT) AS doc_id, CAST(len(ws) AS INTEGER) AS n_tokens FROM docs
+DOC_FINGERPRINTS_SQL = (
+    "WITH " + _WORDS_CTE + r"""
+SELECT CAST(doc_num AS BIGINT) AS doc_id,
+  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+  list_reduce(
+    list_transform(ws, w -> (('0x' || substr(md5(w), 1, 15))::BIGINT) % 2147483647),
+    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
+FROM docs
 """
 )
-
-DOC_FINGERPRINT_SQL = r"""
-SELECT doc_id,
-  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-FROM documents
-"""
 
 DEDUP_EXACT_SQL = r"""
 SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
@@ -260,10 +225,12 @@ SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
 FROM documents GROUP BY 1
 """
 
-QUALITY_SCORE_SQL = (
+DOC_STATS_SQL = (
     "WITH " + _WORDS_CTE + r"""
 SELECT CAST(doc_num AS BIGINT) AS doc_id,
   CAST(len(ws) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INTEGER)
+    AS n_bpe_tokens,
   round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
         / CAST(len(ws) AS DOUBLE), 6) AS mean_token_len,
   round(CAST(len(list_filter(ws,
@@ -743,7 +710,8 @@ sigs AS (
       list_min(list_transform(hs, h -> """ + _FAST_LANE + """))) AS sig
   FROM hs
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id, sig,
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  array_to_string(sig, ',') AS sig,
 """
     + ",\n".join(
         f"  md5(array_to_string(sig[{b * 8 + 1}:{(b + 1) * 8}], ',')) AS band{b}"
@@ -829,8 +797,7 @@ FROM lbl GROUP BY id
 # every reachable label through the (bidirectional) edges; min per node ==
 # the lattice fixpoint the Spark min-label propagation converges to
 DUP_COMPONENTS_SQL = (
-    "WITH RECURSIVE " + _MUTANT_DOCS_CTE.replace("WITH", "").lstrip().lstrip(",")
-    + "," + _MINHASH_CORE + """,
+    "WITH RECURSIVE " + _MUTANT_DOCS_CTE + "," + _MINHASH_CORE + """,
 prs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM (
@@ -865,6 +832,24 @@ DEDUP_SURVIVORS_SQL = DUP_COMPONENTS_SQL.replace(
 FROM lbl GROUP BY id""",
     """SELECT CAST(id AS BIGINT) AS doc_id
 FROM lbl GROUP BY id HAVING min(l) = id""",
+)
+
+# merged registry rows: both kernels unioned under a kernel key (DuckDB
+# allows WITH RECURSIVE inside a derived table)
+LSH_DUP_PAIRS_BOTH_SQL = (
+    "SELECT doc_a, doc_b, 'md5_k8' AS kernel FROM (\n"
+    + LSH_DUP_PAIRS_SQL
+    + ")\nUNION ALL\nSELECT doc_a, doc_b, 'fast_k64' AS kernel FROM (\n"
+    + LSH_DUP_PAIRS_FAST_SQL
+    + ")"
+)
+
+DUP_COMPONENTS_BOTH_SQL = (
+    "SELECT doc_id, component, 'md5_k8' AS kernel FROM (\n"
+    + DUP_COMPONENTS_SQL
+    + ")\nUNION ALL\nSELECT doc_id, component, 'fast_k64' AS kernel FROM (\n"
+    + DUP_COMPONENTS_FAST_SQL
+    + ")"
 )
 
 _SIMHASH_CORE = (
@@ -971,33 +956,28 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   CAST(NULL AS INTEGER) AS width,
   CAST(NULL AS INTEGER) AS height,
   CAST(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS fake_width,
-  CAST(ascii(substr(text, 2, 1)) + 1 AS INTEGER) AS fake_height
+  CAST(ascii(substr(text, 2, 1)) + 1 AS INTEGER) AS fake_height,
+  CASE WHEN doc_id % 3 = 0 THEN 'desc:' || md5(text) END AS description
 FROM documents
 """
 
-# q_media_dimensions: the engine PARSES real headers; the oracle enumerates
-# the dimensions arithmetically (29-byte PNG header for even docs, 41-byte
-# JPEG with APP0+SOF0 for odd) — an actual end-to-end decode check
-MEDIA_DIMENSIONS_SQL = """
-SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-  CAST(doc_id % 1920 + 16 AS INTEGER) AS width,
-  CAST(doc_id % 1080 + 16 AS INTEGER) AS height,
-  CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 41 END AS BIGINT) AS n_bytes
-FROM documents
-"""
-
-# ----------------------------------------------- parity long-tail (batch 4)
-PICTURE_DESCRIBE_SQL = """
-SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-  CAST(0 AS INTEGER) AS elem_seq,
-  'desc:' || md5(text) AS description
-FROM documents WHERE doc_id % 3 = 0
-"""
-
-REPO_ID_NORMALIZE_SQL = """
-SELECT doc_id,
-  'owner' || CAST(doc_id % 7 AS VARCHAR) || '/repo' || CAST(doc_id % 5 AS VARCHAR) AS repo_id
-FROM documents
+# q_media_decode_resize: the engine PARSES real headers; the oracle
+# enumerates the dimensions arithmetically (29-byte PNG header for even
+# docs, 41-byte JPEG with APP0+SOF0 for odd — an actual end-to-end decode
+# check) and re-derives the fit-into-224 resize plan from them
+MEDIA_DECODE_RESIZE_SQL = """
+WITH dims AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    CAST(doc_id % 1920 + 16 AS INTEGER) AS width,
+    CAST(doc_id % 1080 + 16 AS INTEGER) AS height,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 41 END AS BIGINT) AS n_bytes
+  FROM documents
+),
+s AS (SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM dims)
+SELECT doc_id, n_bytes, width, height,
+  CAST(greatest(1, floor(width * scale)) AS INTEGER) AS out_w,
+  CAST(greatest(1, floor(height * scale)) AS INTEGER) AS out_h
+FROM s
 """
 
 ELEMENTS_TO_TEXT_SQL = (
@@ -1037,33 +1017,9 @@ FROM kinds WHERE kind_idx = 2
 )
 
 # --------------------------------------------- relational demos (batch 4)
-PRICING_SUMMARY_SQL = """
-SELECT l_returnflag, l_linestatus,
-  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
-  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
-  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4)
-       AS DOUBLE) AS sum_disc_price,
-  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
-  CAST(count(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
 
-TOP_CUSTOMERS_SQL = """
-WITH rev AS (
-  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
-  FROM orders GROUP BY o_custkey
-),
-ranked AS (
-  SELECT c.c_custkey, c.c_name,
-    CAST(round(r.rev_dec, 4) AS DOUBLE) AS revenue,
-    CAST(row_number() OVER (ORDER BY r.rev_dec DESC, c.c_custkey) AS INTEGER) AS rank
-  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
-)
-SELECT c_custkey, c_name, revenue, rank FROM ranked WHERE rank <= 25
-"""
+
+
 
 # batch twin of the streaming watermarked windowed agg: Spark's
 # window("ts", "1 hour").start on a UTC session == date_trunc('hour', ts)
@@ -1076,34 +1032,14 @@ FROM events GROUP BY 1, 2
 
 USER_RUNNING_TOTALS_SQL = """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-  round(sum(value), 4) AS total_value
+  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id
 """
 
-EVENTS_SESSIONIZE_SQL = """
-SELECT user_id, event_id,
-  CAST(row_number() OVER w - 1 AS INTEGER) AS event_idx,
-  round(sum(value) OVER w, 4) AS running_value
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
 
-BPE_TOKEN_COUNT_SQL = r"""
-SELECT doc_id,
-  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INTEGER)
-    AS n_bpe_tokens
-FROM documents
-"""
 
-ROLLING_FINGERPRINT_SQL = (
-    "WITH " + _WORDS_CTE + """
-SELECT CAST(doc_num AS BIGINT) AS doc_id,
-  list_reduce(
-    list_transform(ws, w -> (('0x' || substr(md5(w), 1, 15))::BIGINT) % 2147483647),
-    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
-FROM docs
-"""
-)
+
+
 
 def _centroid(j: int, kexpr: str) -> str:
     return (
@@ -1166,8 +1102,14 @@ SELECT q_id, n_id, round(sim, 6) AS cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
-KNN_BATCH_SQL = _knn_batch_sql(1)
-KNN_BATCH_PROBE2_SQL = _knn_batch_sql(2)
+# both probe depths unioned under an n_probe key (matches q_knn_batch)
+KNN_BATCH_SQL = (
+    "SELECT q_id, n_id, cosine, rank, 1 AS n_probe FROM (\n"
+    + _knn_batch_sql(1)
+    + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 2 AS n_probe FROM (\n"
+    + _knn_batch_sql(2)
+    + ")"
+)
 
 # frame sampling: videos are doc_id%3==2.  The blob is utf-8 of the text
 # and the driver corpus is pure ASCII (verified: octet_length(encode(text))
@@ -1188,19 +1130,7 @@ SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
 FROM f
 """
 
-MEDIA_RESIZE_SQL = """
-WITH dims AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-    CAST(doc_id % 1920 + 16 AS INTEGER) AS width,
-    CAST(doc_id % 1080 + 16 AS INTEGER) AS height
-  FROM documents
-),
-s AS (SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM dims)
-SELECT doc_id, width, height,
-  CAST(greatest(1, floor(width * scale)) AS INTEGER) AS out_w,
-  CAST(greatest(1, floor(height * scale)) AS INTEGER) AS out_h
-FROM s
-"""
+
 
 
 def _kmeans_sql(n_cells: int = 8, dim: int = 64, iterations: int = 2) -> str:
@@ -1261,7 +1191,14 @@ SELECT vec_id, CAST(j AS INTEGER) AS cell FROM (
     return "".join(parts)
 
 
-IVF_KMEANS_SQL = _kmeans_sql()
+# coarse (grid) and refined (2 Lloyd iterations) cells joined per vector
+IVF_KMEANS_SQL = (
+    "SELECT a.vec_id, a.cell AS cell_init, b.cell AS cell_refined FROM (\n"
+    + IVF_CELLS_SQL
+    + ") a JOIN (\n"
+    + _kmeans_sql()
+    + ") b ON a.vec_id = b.vec_id"
+)
 
 
 # input_hint ingestion path: per doc 8 output spans —
@@ -1295,32 +1232,15 @@ FROM slots
 ORACLES = {
     "extract_interleaved_spans": EXTRACT_SPANS_SQL,
     "extract_from_interleaved": EXTRACT_FROM_INTERLEAVED_SQL,
-    "boilerplate_strip": BOILERPLATE_STRIP_SQL,
-    "paragraph_split": PARAGRAPH_SPLIT_SQL,
-    "think_strip": THINK_STRIP_SQL,
-    "json_key_repair": JSON_KEY_REPAIR_SQL,
-    "trailing_comma_strip": TRAILING_COMMA_STRIP_SQL,
-    "extract_json_block": EXTRACT_JSON_BLOCK_SQL,
+    "text_cleanup": TEXT_CLEANUP_SQL,
+    "json_repair_exprs": JSON_REPAIR_EXPRS_SQL,
+    "html_elements": HTML_ELEMENTS_SQL,
+    "elements_to_text": ELEMENTS_TO_TEXT_SQL,
     "paragraph_cells": PARAGRAPH_CELLS_SQL,
     "bbox_rescale": BBOX_RESCALE_SQL,
     "otsl_skeleton": OTSL_SKELETON_SQL,
     "reading_order": READING_ORDER_SQL,
     "confidence_agg": CONFIDENCE_AGG_SQL,
-    "token_count": TOKEN_COUNT_SQL,
-    "doc_fingerprint": DOC_FINGERPRINT_SQL,
-    "dedup_exact": DEDUP_EXACT_SQL,
-    "quality_score": QUALITY_SCORE_SQL,
-    "quality_filter_rules": QUALITY_FILTER_RULES_SQL,
-    "doc_chunks": DOC_CHUNKS_SQL,
-    "pack_sequences": PACK_SEQUENCES_SQL,
-    "pii_mask": PII_MASK_SQL,
-    "sample_stratified": SAMPLE_STRATIFIED_SQL,
-    "dedup_survivors": DEDUP_SURVIVORS_SQL,
-    "decontaminate": DECONTAMINATE_SQL,
-    "events_sessions": EVENTS_SESSIONS_SQL,
-    "lang_id": LANG_ID_SQL,
-    "knn_bruteforce": KNN_BRUTEFORCE_SQL,
-    "html_elements": HTML_ELEMENTS_SQL,
     "element_cells": ELEMENT_CELLS_SQL,
     "layout_clusters": LAYOUT_CLUSTERS_SQL,
     "table_cells": TABLE_CELLS_SQL,
@@ -1328,36 +1248,36 @@ ORACLES = {
     "code_formula_enrich": CODE_FORMULA_ENRICH_SQL,
     "cluster_assign": CLUSTER_ASSIGN_SQL,
     "cell_dedupe": CELL_DEDUPE_SQL,
+    "ocr_rect_filter": OCR_RECT_FILTER_SQL,
+    "table_cluster_filter": TABLE_CLUSTER_FILTER_SQL,
     "checkpoint_resume": CHECKPOINT_RESUME_SQL,
+    "doc_stats": DOC_STATS_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "quality_filter_rules": QUALITY_FILTER_RULES_SQL,
+    "pii_mask": PII_MASK_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signature": MINHASH_SIGNATURE_SQL,
     "minhash_fast": MINHASH_FAST_SQL,
-    "lsh_dup_pairs": LSH_DUP_PAIRS_SQL,
+    "lsh_dup_pairs": LSH_DUP_PAIRS_BOTH_SQL,
     "simhash": SIMHASH_SQL,
     "simhash_pairs": SIMHASH_PAIRS_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
-    "dup_components": DUP_COMPONENTS_SQL,
-    "dup_components_fast": DUP_COMPONENTS_FAST_SQL,
+    "dup_components": DUP_COMPONENTS_BOTH_SQL,
+    "dedup_survivors": DEDUP_SURVIVORS_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
-    "media_features": MEDIA_FEATURES_SQL,
-    "media_dimensions": MEDIA_DIMENSIONS_SQL,
-    "media_resize": MEDIA_RESIZE_SQL,
-    "frame_sample": FRAME_SAMPLE_SQL,
+    "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_batch": KNN_BATCH_SQL,
-    "knn_batch_probe2": KNN_BATCH_PROBE2_SQL,
-    "lsh_dup_pairs_fast": LSH_DUP_PAIRS_FAST_SQL,
-    "bpe_token_count": BPE_TOKEN_COUNT_SQL,
-    "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
-    "ivf_cells": IVF_CELLS_SQL,
     "ivf_kmeans": IVF_KMEANS_SQL,
-    "picture_describe": PICTURE_DESCRIBE_SQL,
-    "repo_id_normalize": REPO_ID_NORMALIZE_SQL,
-    "elements_to_text": ELEMENTS_TO_TEXT_SQL,
-    "ocr_rect_filter": OCR_RECT_FILTER_SQL,
-    "table_cluster_filter": TABLE_CLUSTER_FILTER_SQL,
-    "pricing_summary": PRICING_SUMMARY_SQL,
-    "top_customers": TOP_CUSTOMERS_SQL,
-    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "media_features": MEDIA_FEATURES_SQL,
+    "media_decode_resize": MEDIA_DECODE_RESIZE_SQL,
+    "frame_sample": FRAME_SAMPLE_SQL,
+    "events_sessions": EVENTS_SESSIONS_SQL,
     "windowed_event_counts": WINDOWED_EVENT_COUNTS_SQL,
     "user_running_totals": USER_RUNNING_TOTALS_SQL,
 }
