@@ -41,6 +41,34 @@ DEFAULT_PROMPTS: dict[str, str] = {
         "Separate distinct sections with blank lines."
     ),
     "qwenvl_html": "QwenVL HTML",
+    # layout/table single-shot JSON stages (prompts.py:60-90 — verbatim data
+    # contract like the four above: the repair cascade and cluster/table
+    # builders consume exactly the JSON grammar these request)
+    "layout_json": """Detect every document element in this page image.
+
+Return a JSON array. Each element:
+{"label":"<type>","x1":<int>,"y1":<int>,"x2":<int>,"y2":<int>}
+
+Rules:
+- Coordinates are integers 0-1000 (top-left origin)
+- x1 < x2, y1 < y2 (y1 is top edge, y2 is bottom edge)
+- Use the correct label for each element
+
+Types: title, section_header, text, list_item, table, picture, caption, footnote, page_header, page_footer, formula, code
+
+Example for a page with a header, title, paragraph, and table:
+[{"label":"page_header","x1":50,"y1":10,"x2":950,"y2":40},{"label":"title","x1":100,"y1":50,"x2":800,"y2":100},{"label":"text","x1":50,"y1":120,"x2":950,"y2":450},{"label":"table","x1":50,"y1":470,"x2":950,"y2":750}]
+
+Output ONLY the JSON array.""",
+    "table_json": """Extract the table structure from this image.
+
+Return a JSON object:
+{"rows":<int>,"cols":<int>,"cells":[{"row":<int>,"col":<int>,"text":"<content>","rs":<row_span>,"cs":<col_span>,"hdr":<true/false>,"x1":<int>,"y1":<int>,"x2":<int>,"y2":<int>},...]}
+
+Coordinates are integers 0-1000 relative to the table image.
+Row/col are 0-indexed. rs/cs default to 1. hdr is true for header cells.
+
+Output ONLY the JSON object.""",
 }
 
 

@@ -163,24 +163,75 @@ class TorchQwenDecoder:
             ) from exc
         self._shared = None  # lazy (M2): first decode_page loads the model
 
-    def decode_page(self, payload_kind: str, payload) -> list[tuple]:
-        """payload = page raster bytes on GPU deployments.
+    def _ensure_loaded(self):
+        """M1/M2: per-executor singleton (model, processor) pair, keyed on
+        (repo_id, device) like the reference registry (_model_registry.py:20),
+        loaded on first use with the resolved attention backend / dtype /
+        quantization plan."""
+        if self._shared is None:
+            from .generation import quantization_plan
 
-        Loop per micro-batch (qwen_runner.py:63-190):
-          messages = build_chat_messages(mode, resolve_prompt(...), image)
-          kwargs   = select_generation_kwargs(mode, self.options)
-          ids      = model.generate(**inputs, **kwargs)[:, input_len:]
-          ids      = slice_after_think(ids)             # M4, token level
-          text     = processor.batch_decode(ids, ...)[0].strip()
-        then the SAME structural parse as DeterministicDecoder.  For the
-        constrained-JSON stages (T11): inject_assistant_prefix(...) before
-        processor(), finalize_json_output(...) after batch_decode, with
-        JSON_SINGLE_SHOT_KWARGS.
-        """  # pragma: no cover - tensor path needs a GPU deployment
-        raise NotImplementedError(
-            "tensor path is deployment-only; its pure halves live in "
-            "inference/generation.py and are unit-tested torch-free"
+            def load():
+                import transformers
+
+                processor = transformers.AutoProcessor.from_pretrained(
+                    self.options.model_repo_id
+                )
+                load_kwargs = {
+                    "device_map": self.device,
+                    "attn_implementation": self.attn_implementation,
+                    "dtype": self.dtype_name,
+                }
+                quant = quantization_plan(self.options.quantization)
+                if quant is not None:
+                    load_kwargs["quantization_config"] = (
+                        transformers.BitsAndBytesConfig(**quant)
+                    )
+                model = transformers.AutoModelForImageTextToText.from_pretrained(
+                    self.options.model_repo_id, **load_kwargs
+                )
+                return model, processor
+
+            self._shared = get_or_create(
+                ("qwen3vl", self.options.model_repo_id, self.device), load
+            )
+        return self._shared
+
+    def decode_page(self, payload_kind: str, payload) -> list[tuple]:
+        """payload = the page raster (PIL image) on GPU deployments.
+
+        Runs the reference loop (qwen_runner.py:63-190) via
+        ``generation.run_vlm_inference`` — chat template, regime-switched
+        generate under no_grad, input-token slice, think strip before
+        decode, batch_decode + strip; the layout/table payload kinds take
+        the constrained single-shot JSON path (T11) instead — then applies
+        the SAME structural parse as DeterministicDecoder and releases the
+        VRAM cache (M6).  Control flow is pinned by a mocked-torch unit
+        test (tests/test_torch_decoder.py); only the real tensors need a
+        GPU deployment."""
+        import torch
+
+        from ..config import resolve_prompt
+        from .generation import run_vlm_inference
+
+        model, processor = self._ensure_loaded()
+        image = payload.convert("RGB") if hasattr(payload, "convert") else payload
+        json_root = {"layout_json": "array", "table_json": "object"}.get(payload_kind)
+        prompt_mode = "ocr" if payload_kind == "plain_text" else payload_kind
+        out_text = run_vlm_inference(
+            model,
+            processor,
+            torch,
+            image,
+            prompt_mode,
+            resolve_prompt(prompt_mode, getattr(self.options, "prompt_overrides", None)),
+            self.options,
+            json_root=json_root,
         )
+        if torch.cuda.is_available():  # M6: per-page cache release
+            torch.cuda.empty_cache()
+        # identical downstream structural parse -> backend-independent spans
+        return DeterministicDecoder().decode_page(payload_kind, out_text)
 
 
 def get_decoder(backend: str = "deterministic", simulate_cost_us: int = 0):

@@ -137,6 +137,60 @@ def slice_after_think(token_ids: list[int], marker: int = THINK_END_TOKEN_ID) ->
     return token_ids
 
 
+def run_vlm_inference(
+    model,
+    processor,
+    torch_mod,
+    image,
+    prompt_mode: str,
+    prompt: str,
+    options,
+    json_root: str | None = None,
+) -> str:
+    """The reference inference loop (qwen_runner.py:102-162), call-for-call,
+    with the tensor-owning objects INJECTED so the control flow is unit-
+    testable under mocks and identical on a real GPU deployment:
+
+      apply_chat_template -> [inject JSON prefix (T11)] -> processor() ->
+      .to(device) -> torch.no_grad(): model.generate(**regime kwargs) ->
+      slice off the input tokens -> think-token suffix slice (M4, BEFORE
+      decode — skip_special_tokens would strip the markers) ->
+      batch_decode(skip_special_tokens, clean_up_tokenization_spaces) ->
+      strip [-> re-attach JSON prefix (T11)].
+
+    ``json_root`` switches to the constrained single-shot JSON path
+    (_vlm_jsonformer.py:105-160): assistant-prefix bracket injection and
+    the fixed deterministic kwargs."""
+    messages = build_chat_messages(prompt_mode, prompt, image)
+    text_input = processor.apply_chat_template(
+        messages, tokenize=False, add_generation_prompt=True
+    )
+    if json_root is not None:
+        text_input = inject_assistant_prefix(text_input, json_root)
+    inputs = processor(
+        text=[text_input], images=[image], padding=True, return_tensors="pt"
+    )
+    inputs = inputs.to(model.device)
+    if json_root is not None:
+        gen_kwargs = dict(
+            JSON_SINGLE_SHOT_KWARGS, max_new_tokens=options.max_new_tokens
+        )
+    else:
+        gen_kwargs = select_generation_kwargs(prompt_mode, options)
+    with torch_mod.no_grad():
+        generated_ids = model.generate(**inputs, **gen_kwargs)
+    input_len = inputs["input_ids"].shape[1]
+    generated_ids = generated_ids[:, input_len:]
+    row = generated_ids[0]
+    token_row = slice_after_think(row.tolist() if hasattr(row, "tolist") else list(row))
+    raw_text = processor.batch_decode(
+        [token_row], skip_special_tokens=True, clean_up_tokenization_spaces=True
+    )[0].strip()
+    if json_root is not None:
+        return finalize_json_output(raw_text, json_root)
+    return raw_text
+
+
 def select_attention_backend(requested: str) -> str:
     """M7: flash_attention_2 silently degrades to sdpa when flash_attn is
     not importable (_model_registry.py:164-174); other values pass through."""

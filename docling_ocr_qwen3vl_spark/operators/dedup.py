@@ -423,6 +423,20 @@ def near_duplicate_components(
     return dup_components(docs.select(id_col), pairs, id_col=id_col)
 
 
+def propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label propagation round: edges x labels equi-join + min-agg.
+
+    Factored out of the fixpoint loop so its physical plan is directly
+    auditable (tests/test_plan_hygiene.py asserts no cartesian/nested-loop
+    per ITERATION — the whole-loop plan cannot be built without running the
+    jobs that drive convergence).  ``edges``: (src, dst); ``labels``:
+    (id, comp)."""
+    msgs = edges.join(labels, edges.src == labels.id).select(
+        F.col("dst").alias("id"), "comp"
+    )
+    return labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+
+
 def dup_components(
     ids: DataFrame,
     pairs: DataFrame,
@@ -452,15 +466,7 @@ def dup_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        msgs = edges.join(labels, edges.src == labels.id).select(
-            F.col("dst").alias("id"), "comp"
-        )
-        refined = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
+        refined = propagation_round(edges, labels).localCheckpoint(eager=True)
         changed = (
             refined.join(labels.withColumnRenamed("comp", "prev"), "id")
             .filter(F.col("comp") != F.col("prev"))

@@ -208,16 +208,28 @@ def kmeans_refined_cells(
     base = embeddings.select("vec_id", vq.alias("vq"))
     centroids = _init_centroids(n_cells, dim)
     for _ in range(iterations):
-        assigned = base.withColumn("cell", _argmin_cell(centroids))
-        stats = assigned.groupBy("cell").agg(
-            F.count("*").alias("cnt"),
-            *[F.sum(F.element_at("vq", k + 1)).alias(f"s{k}") for k in range(dim)],
-        ).collect()
+        stats = lloyd_iteration_plan(base, centroids, dim).collect()
         refined = [list(c) for c in centroids]  # empty cells keep their centroid
         for row in stats:
             refined[row["cell"]] = [row[f"s{k}"] / row["cnt"] for k in range(dim)]
         centroids = refined
     return base.withColumn("cell", _argmin_cell(centroids)).select("vec_id", "cell")
+
+
+def lloyd_iteration_plan(
+    base: DataFrame, centroids: list[list[float]], dim: int
+) -> DataFrame:
+    """ONE Lloyd iteration as an un-executed plan: codegen'd argmin
+    assignment + partial-agg groupBy("cell") yielding (cell, cnt, s0..s{dim-1})
+    — n_cells rows out, the control-plane stats the driver folds into the
+    next centroid set.  Factored out so the per-iteration physical plan is
+    directly auditable (tests/test_plan_hygiene.py): the whole-loop plan
+    cannot be built without running the jobs between iterations."""
+    assigned = base.withColumn("cell", _argmin_cell(centroids))
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("cnt"),
+        *[F.sum(F.element_at("vq", k + 1)).alias(f"s{k}") for k in range(dim)],
+    )
 
 
 def ivf_probe_cells(

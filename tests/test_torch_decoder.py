@@ -1,0 +1,222 @@
+"""Mocked-torch drive of the production TorchQwenDecoder control flow.
+
+The sandbox has no torch/transformers, so the tensor path cannot execute for
+real — but its CONTROL FLOW (reference loop qwen_runner.py:63-190 and the
+constrained-JSON path _vlm_jsonformer.py:105-160) is pinned here by
+injecting fake torch/transformers modules: chat-template call shape,
+processor kwargs, regime-switched generate kwargs, input-token slice,
+think-token strip BEFORE decode, batch_decode kwargs, JSON prefix
+inject/finalize, and the shared structural parse with DeterministicDecoder.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+THINK = 151668  # </think> token id
+
+# ---------------------------------------------------------------- fakes
+
+
+class FakeRow:
+    def __init__(self, vals):
+        self.vals = list(vals)
+
+    def tolist(self):
+        return list(self.vals)
+
+
+class FakeTensor2D:
+    """Just enough of a 2-D tensor: [:, n:] slicing and [0] row access."""
+
+    def __init__(self, rows):
+        self.rows = [list(r) for r in rows]
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            rsel, csel = idx
+            assert rsel == slice(None)
+            return FakeTensor2D([r[csel] for r in self.rows])
+        return FakeRow(self.rows[idx])
+
+
+class FakeInputs(dict):
+    def to(self, device):
+        self.moved_to = device
+        return self
+
+
+class FakeIds:
+    def __init__(self, n):
+        self.shape = (1, n)
+
+
+class FakeProcessor:
+    def __init__(self):
+        self.calls = []
+
+    def apply_chat_template(self, messages, tokenize, add_generation_prompt):
+        self.calls.append(("template", messages, tokenize, add_generation_prompt))
+        return "<chat>" + messages[-1]["content"][1]["text"]
+
+    def __call__(self, *, text, images, padding, return_tensors):
+        self.calls.append(("process", text, images, padding, return_tensors))
+        self.last_text = text[0]
+        return FakeInputs(input_ids=FakeIds(5), pixel_values="px")
+
+    def batch_decode(self, ids, *, skip_special_tokens, clean_up_tokenization_spaces):
+        self.calls.append(
+            ("decode", [list(i) for i in ids], skip_special_tokens,
+             clean_up_tokenization_spaces)
+        )
+        return [self.decode_result]
+
+
+class FakeModel:
+    device = "cuda:0"
+
+    def __init__(self, output_ids):
+        self.output_ids = output_ids
+        self.generate_kwargs = None
+
+    def generate(self, **kwargs):
+        self.generate_kwargs = kwargs
+        # echo 5 "input" tokens then the scripted continuation
+        return FakeTensor2D([[1, 2, 3, 4, 5] + list(self.output_ids)])
+
+
+class _NoGrad:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _fake_torch():
+    torch = types.ModuleType("torch")
+    torch.no_grad = _NoGrad
+    torch.cuda = types.SimpleNamespace(
+        is_available=lambda: False, empty_cache=lambda: None
+    )
+    return torch
+
+
+def _fake_transformers(model, processor):
+    tf = types.ModuleType("transformers")
+    tf.AutoProcessor = types.SimpleNamespace(
+        from_pretrained=lambda repo: processor
+    )
+    tf.AutoModelForImageTextToText = types.SimpleNamespace(
+        from_pretrained=lambda repo, **kw: model
+    )
+    tf.BitsAndBytesConfig = lambda **kw: ("bnb", kw)
+    return tf
+
+
+@pytest.fixture()
+def decoder_env(monkeypatch):
+    """TorchQwenDecoder constructed against injected fake torch/transformers."""
+    from docling_ocr_qwen3vl_spark.inference import registry
+
+    processor = FakeProcessor()
+    model = FakeModel(output_ids=[])
+    monkeypatch.setitem(sys.modules, "torch", _fake_torch())
+    monkeypatch.setitem(
+        sys.modules, "transformers", _fake_transformers(model, processor)
+    )
+    registry.clear()
+    from docling_ocr_qwen3vl_spark.inference.decoder import TorchQwenDecoder
+
+    dec = TorchQwenDecoder(model_repo_id="owner/repo", device="cuda")
+    yield dec, model, processor
+    registry.clear()
+
+
+# ---------------------------------------------------------------- tests
+
+
+def test_html_page_full_loop(decoder_env):
+    """qwenvl_html page: system prompt, deterministic decoding, think strip
+    before decode, and the SAME structural parse as DeterministicDecoder."""
+    dec, model, processor = decoder_env
+    html = '<h1 data-bbox="10 20 500 60">Title</h1><p data-bbox="10 80 500 120">Body text</p>'
+    model.output_ids = [9, 9, THINK, 7, 8]  # CoT tokens, marker, answer tokens
+    processor.decode_result = "  " + html + "  "
+
+    out = dec.decode_page("qwenvl_html", image := object())
+
+    # chat template got system + user with the image (qwen_runner.py:76-99)
+    kind, messages, tokenize, agp = processor.calls[0]
+    assert (kind, tokenize, agp) == ("template", False, True)
+    assert messages[0]["role"] == "system"
+    assert messages[1]["content"][0] == {"type": "image", "image": image}
+    # processor kwargs (qwen_runner.py:108-114)
+    assert processor.calls[1][3:] == (True, "pt")
+    # deterministic regime for structured HTML (qwen_runner.py:128-135)
+    assert model.generate_kwargs["do_sample"] is False
+    assert "input_ids" in model.generate_kwargs
+    # think strip happened BEFORE decode: only the post-marker ids decoded
+    decoded_ids = processor.calls[-1][1][0]
+    assert decoded_ids == [7, 8]
+    assert processor.calls[-1][2:] == (True, True)
+    # downstream parse identical to the deterministic backend
+    from docling_ocr_qwen3vl_spark.inference.decoder import DeterministicDecoder
+
+    assert out == DeterministicDecoder().decode_page("qwenvl_html", html)
+
+
+def test_plain_page_sampling_regime(decoder_env):
+    """Non-HTML mode passes the sampling knobs exactly as the reference
+    calls model.generate (qwen_runner.py:137-146)."""
+    dec, model, processor = decoder_env
+    dec.options.do_sample = True
+    dec.options.temperature = 0.7
+    model.output_ids = [7]
+    processor.decode_result = "one para\n\ntwo para"
+
+    out = dec.decode_page("plain_text", object())
+
+    gk = model.generate_kwargs
+    assert gk["do_sample"] is True
+    assert gk["temperature"] == 0.7
+    assert [e[2] for e in out] == ["one para", "two para"]
+    # single user message (no system prompt outside qwenvl_html)
+    assert processor.calls[0][1][0]["role"] == "user"
+
+
+def test_layout_json_single_shot_path(decoder_env):
+    """layout_json takes the T11 constrained path: '[' injected after the
+    chat template, JSON kwargs (repetition_penalty=1.3, do_sample=False),
+    prefix re-attached before parsing (_vlm_jsonformer.py:105-160)."""
+    dec, model, processor = decoder_env
+    model.output_ids = [7]
+    # model continues AFTER the injected '[' — no opening bracket of its own
+    processor.decode_result = '{"label":"picture","x1":1,"y1":2,"x2":30,"y2":40}]'
+
+    out = dec.decode_page("layout_json", object())
+
+    assert processor.last_text.endswith("[")  # injected assistant prefix
+    gk = model.generate_kwargs
+    assert gk["repetition_penalty"] == 1.3
+    assert gk["do_sample"] is False
+    # the re-attached prefix made the array parse -> one picture media span
+    assert len(out) == 1 and out[0][1] == "media_ref"
+
+
+def test_model_loaded_once_per_worker(decoder_env):
+    """M1/M2: the (model, processor) pair is a lazy per-worker singleton."""
+    from docling_ocr_qwen3vl_spark.inference import registry
+
+    dec, model, processor = decoder_env
+    assert dec._shared is None  # lazy: nothing loaded at construction
+    model.output_ids = [7]
+    processor.decode_result = "x"
+    before = registry.registry_size()
+    dec.decode_page("plain_text", object())
+    dec.decode_page("plain_text", object())
+    assert registry.registry_size() == before + 1
+    assert dec._shared[0] is model
