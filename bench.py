@@ -163,6 +163,140 @@ def run_scaling(
     return best
 
 
+_BURN_SNIPPET = r"""
+import hashlib, json, multiprocessing as mp, sys, time
+
+def burn(chunk):
+    h = b"x" * 4096
+    for _ in range(chunk):
+        h = hashlib.md5(h).digest() * 256
+    return 1
+
+if __name__ == "__main__":
+    procs = int(sys.argv[1]); tasks = int(sys.argv[2]); reps = int(sys.argv[3])
+    times = []
+    with mp.Pool(procs) as pool:
+        pool.map(burn, [200] * procs)  # warm the pool
+        for _ in range(reps):
+            t0 = time.time()
+            pool.map(burn, [2000] * tasks)
+            times.append(time.time() - t0)
+    print(json.dumps({"procs": procs, "sec": min(times)}))
+"""
+
+
+def run_host_envelope(lo: int = 8, hi: int = 32, tasks: int = 256, reps: int = 3) -> dict:
+    """The host's OWN scaling ceiling, measured with the same pinned-CPU
+    min-of-k protocol as the Spark runs but with ZERO Spark: a fixed total
+    amount of pure-Python md5 busy-work split over `procs` worker processes.
+    On ideal hardware efficiency = 1.0; on this oversubscribed VM it
+    measures ~0.85-0.95 — the ceiling any Spark job inherits.  Recording it
+    in the bench JSON makes the stub-regime-vs-host-floor argument
+    machine-checkable instead of prose."""
+    out = {}
+    for procs in (lo, hi):
+        cmd = [sys.executable, "-c", _BURN_SNIPPET, str(procs), str(tasks), str(reps)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{procs - 1}"] + cmd
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            return {"error": proc.stderr[-300:]}
+        out[procs] = json.loads(line[-1])["sec"]
+    return {
+        "n_cores": lo,
+        "n4_cores": hi,
+        "sec_n": round(out[lo], 3),
+        "sec_4n": round(out[hi], 3),
+        "efficiency": round((out[lo] / out[hi]) / (hi / lo), 3),
+    }
+
+
+def run_dedup_sweep(spark, sf_dir: str) -> dict:
+    """The config-wired production dedup sweep (fast k=64/8-band MinHash ->
+    banded pairs -> connected components) at volume: the corpus replicated
+    SPARK_GRAFT_DEDUP_REP times (distinct doc_ids; each replica keeps its
+    planted near-duplicate partner so the pair graph grows linearly), cold
+    end-to-end wall time, pairs/s and docs/s, and rounds to convergence."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from docling_ocr_qwen3vl_spark.config import ExtractConfig
+    from docling_ocr_qwen3vl_spark.operators.dedup import (
+        dup_components,
+        lsh_candidate_pairs,
+        minhash_signature_fast,
+    )
+
+    rep = int(os.environ.get("SPARK_GRAFT_DEDUP_REP", "64"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_base = docs.count()
+    # replicate with distinct ids, then plant one near-dup per doc (the
+    # ' zz qq' suffix mutant) so recall has true positives at every scale
+    corpus_dir = tempfile.mkdtemp(prefix="dedup_sweep_")
+    replicated = (
+        docs.select("doc_id", "text")
+        .crossJoin(spark.range(rep).select(F.col("id").alias("rep_id")))
+        .select(
+            (F.col("doc_id") * rep + F.col("rep_id")).alias("doc_id"),
+            # interleave a replica-salt token between every pair of words:
+            # EVERY shingle becomes replica-specific, so cross-replica
+            # similarity ~0 and the pair graph grows LINEARLY with rep
+            # (appending one token would leave replicas near-identical and
+            # grow the graph quadratically)
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(" "),
+                F.concat(F.lit(" r"), F.col("rep_id").cast("string"), F.lit(" ")),
+            ).alias("text"),
+        )
+    )
+    mutants = replicated.select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+    )
+    replicated.unionByName(mutants).write.mode("overwrite").parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    n_docs = corpus.count()
+
+    cfg = ExtractConfig(minhash_k=64, minhash_bands=8)
+    # same dataflow as the config-wired near_duplicate_components, unrolled
+    # so the signatures compute ONCE and the pairs stage can be timed/counted
+    # without re-running the kernel
+    stats: dict = {}
+    t0 = time.time()
+    pairs = lsh_candidate_pairs(
+        minhash_signature_fast(corpus, k=cfg.minhash_k, n_bands=cfg.minhash_bands)
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    pairs_sec = time.time() - t0
+    n_components = (
+        dup_components(corpus.select("doc_id"), pairs, stats_out=stats)
+        .select("component")
+        .distinct()
+        .count()
+    )
+    total_sec = time.time() - t0
+    import shutil
+
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    return {
+        "replication": rep,
+        "n_docs": n_docs,
+        "n_base_docs": n_base,
+        "n_candidate_pairs": n_pairs,
+        "n_components": n_components,
+        "rounds_to_convergence": stats.get("rounds"),
+        "pairs_stage_sec": round(pairs_sec, 2),
+        "total_sec": round(total_sec, 2),
+        "docs_per_sec": round(n_docs / total_sec, 1),
+        "pairs_per_sec": round(n_pairs / pairs_sec, 1) if pairs_sec else None,
+        "minhash_k": cfg.minhash_k,
+        "minhash_bands": cfg.minhash_bands,
+    }
+
+
 def main() -> None:
     from docling_ocr_qwen3vl_spark.plans.session import build_session
     from docling_ocr_qwen3vl_spark.queries import QUERIES
@@ -190,6 +324,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    dedup_sweep = run_dedup_sweep(spark, SF_DIR)
+
     flagship = timings["extract_interleaved_spans"]
     # pages per doc = doc_id%3+1 -> mean 2 at scale
     result = {
@@ -202,17 +338,22 @@ def main() -> None:
         "n_spans": n_spans,
         "docs_per_sec": round(n_docs / flagship, 2) if flagship else None,
         "pages_per_sec": round(n_docs * 2 / flagship, 2) if flagship else None,
+        "dedup_sweep": dedup_sweep,
     }
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        # measured host ceiling first: the reference point both Spark
+        # scaling regimes are judged against
+        result["host_envelope"] = run_host_envelope()
         # stub-decode regime: parse kernels only (~30µs/page) — the WORST
         # case for scaling (shuffle/overhead-bound); stage profile and the
-        # host-noise envelope live in BENCH/BASELINE.md.  min-of-4/6 with
-        # one retry below 0.5: the hi-core floor is the noise-sensitive
-        # side, so it gets the extra draws.
+        # host-noise envelope live in BENCH/BASELINE.md.  rep=256 so the
+        # 32-core side amortizes its ~2 s fixed overhead (at rep=64 the job
+        # finishes in ~2 s and efficiency measures the overhead, not the
+        # engine); min-of-3/5 with one retry below 0.5.
         result["scaling"] = run_scaling(
-            SF_DIR, rep=64, reps=4, lo=8, hi=32, retry_below=0.5
+            SF_DIR, rep=256, reps=3, lo=8, hi=32, retry_below=0.5
         )
         # inference regime: 1ms/page simulated model latency (still 100-1000x
         # cheaper than the reference's real VLM) — the map stage dominates,

@@ -408,6 +408,7 @@ def near_duplicate_components(
     config=None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Config-wired near-dup sweep: fast MinHash at
     (config.minhash_k, config.minhash_bands) -> banded candidate pairs ->
@@ -420,7 +421,7 @@ def near_duplicate_components(
         docs, text_col=text_col, k=cfg.minhash_k, n_bands=cfg.minhash_bands
     )
     pairs = lsh_candidate_pairs(sigs, id_col=id_col)
-    return dup_components(docs.select(id_col), pairs, id_col=id_col)
+    return dup_components(docs.select(id_col), pairs, id_col=id_col, stats_out=stats_out)
 
 
 def propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -442,6 +443,7 @@ def dup_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components over the candidate-pair graph: every doc gets
     the MIN doc_id of its component as the canonical representative — the
@@ -465,7 +467,7 @@ def dup_components(
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         refined = propagation_round(edges, labels).localCheckpoint(eager=True)
         changed = (
             refined.join(labels.withColumnRenamed("comp", "prev"), "id")
@@ -474,6 +476,8 @@ def dup_components(
         )
         labels = refined
         if changed == 0:
+            if stats_out is not None:
+                stats_out["rounds"] = rounds
             break
     else:
         # returning non-converged labels would SILENTLY leave duplicates

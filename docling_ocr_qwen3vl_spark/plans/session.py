@@ -39,10 +39,14 @@ def build_session(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # big enough to amortize Python-worker round trips for the parse UDFs,
         # small enough that a batch of page payloads fits comfortably in
-        # memory (~3 MB at 8192 pages x ~400 B).  Swept on the stub-decode
-        # pipeline: 2048 -> 2.40 s, 8192 -> 2.29 s, 20000 -> 2.97 s at
-        # local[32], sf0.1 x64 replication
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+        # memory (~13 MB at 32768 pages x ~400 B).  Swept on the stub-decode
+        # pipeline at local[32], sf0.1 x64 replication, min-of-4+:
+        # 8192 -> 8.0 s, 16384 -> 3.5 s, 32768 -> 2.3 s (consistent ordering
+        # across independent runs; the earlier 8192 default came from a
+        # within-noise sweep under lighter host load)
+        "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+            "SPARK_GRAFT_ARROW_BATCH", "32768"
+        ),
         # 128 MiB input splits: the sweet spot for Parquet scans at 100 TB
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
