@@ -1,0 +1,171 @@
+"""S4: HTTP serving front end over the async job surface (stdlib only).
+
+The reference is driven through docling-serve's HTTP protocol
+(scripts/test_docling_serve_hybrid_pic.py:36-90):
+
+  GET  /health                        -> {"status": "ok"}
+  POST /v1/convert/source/async       -> {"task_id": ...}     (202-style)
+  GET  /v1/status/poll/{task_id}      -> {"task_status": pending|started|
+                                          success|failure, ...}
+  GET  /v1/result/{task_id}           -> the extraction result as JSON
+
+This module serves the SAME protocol over ``plans/jobs.py``: submission
+allocates a lineage-backed checkpointed run, a single background worker
+thread advances jobs group-by-group (each advance = one idempotent Spark
+job; HTTP handler threads never touch Spark), and status/result are read
+from the lineage/output tables — so a killed server resumes exactly where
+it stopped, and any number of front ends can serve the same job root.
+
+Request body: {"sources": [{"kind": "sf_dir", "path": "/data/sfX"}],
+"options": {"n_groups": 8}} — the engine's sources are parquet/Iceberg
+table dirs, not PDF URLs; everything else mirrors the reference protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from ..plans.jobs import PENDING, SUCCESS, ExtractJob, advance_job, load_job, poll_job, submit_job
+
+_TASK_RE = re.compile(r"^/v1/(status/poll|result)/([0-9a-f]{12})$")
+
+
+class ServeContext:
+    """Shared state: the Spark session (worker-thread only), the job root,
+    and the advance queue feeding the single worker."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.tasks: queue.Queue[str] = queue.Queue()
+        self.failures: dict[str, str] = {}
+        self._stop = threading.Event()
+        self.worker = threading.Thread(target=self._work, daemon=True)
+
+    def start(self) -> None:
+        self.worker.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.tasks.put("")  # wake the worker
+        self.worker.join(timeout=30)
+
+    def _work(self) -> None:
+        """Drain the queue; each iteration advances ONE group of one job so
+        a long job cannot starve later submissions (round-robin re-enqueue)."""
+        while not self._stop.is_set():
+            task_id = self.tasks.get()
+            if self._stop.is_set() or not task_id:
+                continue
+            try:
+                job = load_job(self.root, task_id)
+                advance_job(self.spark, job, max_groups=1)
+                if poll_job(self.spark, job)["task_status"] != SUCCESS:
+                    self.tasks.put(task_id)
+            except Exception as exc:  # surfaced as task_status=failure
+                self.failures[task_id] = f"{type(exc).__name__}: {exc}"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    ctx: ServeContext  # set by make_server
+
+    # -- plumbing ---------------------------------------------------------
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet: tests/servers own the log
+        pass
+
+    def _job(self, task_id: str) -> ExtractJob | None:
+        try:
+            return load_job(self.ctx.root, task_id)
+        except FileNotFoundError:
+            return None
+
+    # -- protocol ---------------------------------------------------------
+    def do_GET(self) -> None:
+        if self.path == "/health":
+            self._json(200, {"status": "ok"})
+            return
+        m = _TASK_RE.match(self.path)
+        if not m:
+            self._json(404, {"error": "unknown endpoint"})
+            return
+        endpoint, task_id = m.groups()
+        job = self._job(task_id)
+        if job is None:
+            self._json(404, {"error": f"unknown task_id {task_id}"})
+            return
+        if task_id in self.ctx.failures:
+            self._json(
+                200,
+                {
+                    "task_id": task_id,
+                    "task_status": "failure",
+                    "error_message": self.ctx.failures[task_id],
+                },
+            )
+            return
+        status = poll_job(self.ctx.spark, job)
+        if endpoint == "status/poll":
+            self._json(200, status)
+            return
+        # /v1/result
+        if status["task_status"] != SUCCESS:
+            self._json(409, {"error": "task not finished", **status})
+            return
+        out = self.ctx.spark.read.parquet(job.run.out_path)
+        # 'group' is checkpoint bookkeeping (the resume key), not a span field
+        rows = out.drop("group").orderBy("doc_id", "offset").collect()
+        self._json(
+            200,
+            {
+                "task_id": task_id,
+                "n_spans": len(rows),
+                "spans": [row.asDict() for row in rows],
+            },
+        )
+
+    def do_POST(self) -> None:
+        if self.path != "/v1/convert/source/async":
+            self._json(404, {"error": "unknown endpoint"})
+            return
+        length = int(self.headers.get("Content-Length", "0"))
+        try:
+            body = json.loads(self.rfile.read(length) or b"{}")
+            source = body["sources"][0]
+            if source.get("kind") != "sf_dir":
+                raise ValueError("sources[0].kind must be 'sf_dir'")
+            sf_dir = source["path"]
+        except (KeyError, IndexError, ValueError, json.JSONDecodeError) as exc:
+            self._json(400, {"error": str(exc)})
+            return
+        n_groups = int(body.get("options", {}).get("n_groups", 8))
+        job = submit_job(sf_dir, self.ctx.root, n_groups=n_groups)
+        self.ctx.tasks.put(job.task_id)
+        self._json(
+            200, {"task_id": job.task_id, "task_status": PENDING}
+        )
+
+
+def make_server(
+    spark: SparkSession, root: str, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, ServeContext]:
+    """Build (but do not start) the server + worker; port 0 = ephemeral.
+    Call ``ctx.start()`` then ``server.serve_forever()`` (or run it in a
+    thread); shut down with ``server.shutdown(); ctx.stop()``."""
+    ctx = ServeContext(spark, root)
+    handler = type("Handler", (_Handler,), {"ctx": ctx})
+    server = ThreadingHTTPServer((host, port), handler)
+    return server, ctx

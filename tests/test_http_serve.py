@@ -1,0 +1,111 @@
+"""End-to-end drive of the HTTP serving front end (S4) with stdlib urllib:
+submit -> poll to success -> fetch result, over a real Spark session, and
+the protocol error paths (unknown task, result-before-finish, bad body).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture()
+def serve(spark, tmp_path):
+    from docling_ocr_qwen3vl_spark.serving.server import make_server
+
+    server, ctx = make_server(spark, str(tmp_path / "jobs"))
+    ctx.start()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base
+    server.shutdown()
+    ctx.stop()
+
+
+def _get(url: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def _post(url: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def test_health(serve):
+    assert _get(f"{serve}/health") == (200, {"status": "ok"})
+
+
+def test_submit_poll_fetch_roundtrip(serve, spark, sf_dir):
+    code, sub = _post(
+        f"{serve}/v1/convert/source/async",
+        {"sources": [{"kind": "sf_dir", "path": sf_dir}],
+         "options": {"n_groups": 4}},
+    )
+    assert code == 200 and sub["task_status"] == "pending"
+    task_id = sub["task_id"]
+
+    deadline = time.time() + 300
+    while True:
+        code, status = _get(f"{serve}/v1/status/poll/{task_id}")
+        assert code == 200
+        assert status["task_status"] in ("pending", "started", "success")
+        if status["task_status"] == "success":
+            break
+        assert time.time() < deadline, status
+        time.sleep(1)
+    assert status["groups_done"] == status["n_groups"] == 4
+
+    code, result = _get(f"{serve}/v1/result/{task_id}")
+    assert code == 200
+    # the served spans ARE the engine's extraction output for the corpus
+    from docling_ocr_qwen3vl_spark.plans.pipeline import extract_spans
+
+    expected = extract_spans(spark, sf_dir).count()
+    assert result["n_spans"] == expected == len(result["spans"])
+    first = result["spans"][0]
+    assert set(first) == {"doc_id", "offset", "kind", "text", "media_ref"}
+
+
+def test_protocol_errors(serve, sf_dir):
+    # unknown task id (well-formed but never submitted)
+    code, body = _get(f"{serve}/v1/status/poll/{'0' * 12}")
+    assert code == 404
+    # unknown endpoint
+    code, _ = _get(f"{serve}/v1/nonsense")
+    assert code == 404
+    # malformed submit body
+    code, body = _post(f"{serve}/v1/convert/source/async", {"sources": []})
+    assert code == 400
+    code, body = _post(
+        f"{serve}/v1/convert/source/async",
+        {"sources": [{"kind": "http", "url": "http://x"}]},
+    )
+    assert code == 400 and "sf_dir" in body["error"]
+
+
+def test_result_before_finish_conflicts(serve, spark, sf_dir, tmp_path):
+    # submit directly (bypassing the worker queue) so the job stays pending
+    from docling_ocr_qwen3vl_spark.plans.jobs import submit_job
+
+    job = submit_job(sf_dir, str(tmp_path / "jobs"), n_groups=8)
+    code, body = _get(f"{serve}/v1/result/{job.task_id}")
+    assert code == 409 and body["task_status"] == "pending"
