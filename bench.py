@@ -229,7 +229,7 @@ def run_dedup_sweep(spark, sf_dir: str) -> dict:
         minhash_signature_fast,
     )
 
-    rep = int(os.environ.get("SPARK_GRAFT_DEDUP_REP", "64"))
+    rep = int(os.environ.get("SPARK_GRAFT_DEDUP_REP", "32"))
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_base = docs.count()
     # replicate with distinct ids, then plant one near-dup per doc (the
