@@ -1,0 +1,160 @@
+"""T12 per-value jsonformer: scripted-backend tests of the full walk.
+
+The model is replaced by a scripted TokenBackend, so these pin the pure
+control flow — progress prefixes, scalar parsing, the array-continue probe,
+the at-least-two-elements quirk — exactly as the reference implements them
+(_vlm_jsonformer.py:231-502)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from docling_ocr_qwen3vl_spark.inference.jsonformer import (
+    GENERATION_MARKER,
+    JsonformerWalk,
+    parse_generated_number,
+    parse_generated_string,
+)
+
+
+class ScriptedBackend:
+    """Returns scripted continuations/candidates in call order while
+    recording every assistant prefix it was asked to continue."""
+
+    def __init__(self, continuations=(), candidate_lists=()):
+        self.continuations = list(continuations)
+        self.candidate_lists = list(candidate_lists)
+        self.prefixes: list[str] = []
+        self.probe_prefixes: list[str] = []
+
+    def continue_text(self, user_text, assistant_prefix, max_new_tokens):
+        self.prefixes.append(assistant_prefix)
+        return self.continuations.pop(0)
+
+    def top_tokens(self, user_text, assistant_prefix, k):
+        self.probe_prefixes.append(assistant_prefix)
+        return self.candidate_lists.pop(0)
+
+
+# ------------------------------------------------------------- scalar parse
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("42.0", 42),          # integral float -> int
+        (" 3.5,", 3.5),        # rstrip ,
+        ("17}", 17),           # rstrip }
+        ("-7 junk", -7),       # leading sign, stop at non-digit
+        ("abc", 0),            # no digits -> 0
+        ("12.3.4", 0),         # malformed float -> 0
+        ("", 0),
+    ],
+)
+def test_parse_generated_number(raw, expected):
+    out = parse_generated_number(raw)
+    assert out == expected and type(out) is type(expected)
+
+
+def test_parse_generated_string_cuts_at_quote():
+    assert parse_generated_string('Title" and more') == "Title"
+    assert parse_generated_string("  no quote ") == "no quote"
+
+
+# --------------------------------------------------------------- object walk
+def test_object_walk_scalars_and_prefixes():
+    schema = {
+        "type": "object",
+        "properties": {
+            "rows": {"type": "number"},
+            "title": {"type": "string"},
+            "hdr": {"type": "boolean"},
+        },
+    }
+    backend = ScriptedBackend(
+        continuations=["3, ", 'Quarterly" ...'],
+        candidate_lists=[[" false", " true"]],
+    )
+    result = JsonformerWalk(backend, schema, "extract the table")()
+    assert result == {"rows": 3, "title": "Quarterly", "hdr": False}
+    # progress prefixes are exactly the serialized partial JSON up to the
+    # value being generated (string gets its opening quote injected)
+    assert backend.prefixes == ['{"rows": ', '{"rows": 3, "title": "']
+    assert backend.probe_prefixes == ['{"rows": 3, "title": "Quarterly", "hdr": ']
+
+
+def test_schema_embedded_in_user_text():
+    schema = {"type": "object", "properties": {"n": {"type": "number"}}}
+    backend = ScriptedBackend(continuations=["1"])
+    walk = JsonformerWalk(backend, schema, "the task prompt")
+    walk()
+    assert "the task prompt" in walk.user_text
+    assert json.dumps(schema) in walk.user_text
+
+
+# ---------------------------------------------------------------- array walk
+def test_array_walk_continue_probe_and_min_two_quirk():
+    schema = {
+        "type": "array",
+        "items": {
+            "type": "object",
+            "properties": {"label": {"type": "string"}, "x1": {"type": "number"}},
+        },
+    }
+    backend = ScriptedBackend(
+        continuations=['text"', "100", 'table"', "250", 'title"', "40"],
+        # probes: after element 2 -> continue (","), after element 3 -> stop ("]")
+        candidate_lists=[[" ,"], [" ]"]],
+    )
+    result = JsonformerWalk(backend, schema, "layout")()
+    assert result == [
+        {"label": "text", "x1": 100},
+        {"label": "table", "x1": 250},
+        {"label": "title", "x1": 40},
+    ]
+    # the continue-probe never ran after the FIRST element (reference quirk:
+    # arrays always reach two elements before the model can close them)
+    assert len(backend.probe_prefixes) == 2
+    # probe prefix ends with the serialized array + pending marker position
+    assert backend.probe_prefixes[0].startswith('[{"label": "text", "x1": 100}')
+
+
+def test_array_caps_at_max_length():
+    schema = {"type": "array", "items": {"type": "number"}}
+    backend = ScriptedBackend(
+        continuations=["1", "2", "3"],
+        candidate_lists=[[","], [","]],  # model always wants to continue
+    )
+    result = JsonformerWalk(backend, schema, "nums", max_array_length=3)()
+    assert result == [1, 2, 3]
+
+
+def test_boolean_fallback_when_no_candidate_matches():
+    schema = {"type": "object", "properties": {"ok": {"type": "boolean"}}}
+    backend = ScriptedBackend(
+        continuations=["True enough"],
+        candidate_lists=[["{", "[", "x"]],  # neither true nor false visible
+    )
+    assert JsonformerWalk(backend, schema, "p")() == {"ok": True}
+
+
+def test_nested_object_in_array_in_object():
+    schema = {
+        "type": "object",
+        "properties": {
+            "cells": {
+                "type": "array",
+                "items": {"type": "object", "properties": {"v": {"type": "number"}}},
+            }
+        },
+    }
+    backend = ScriptedBackend(
+        continuations=["1", "2"],
+        candidate_lists=[["]"]],
+    )
+    result = JsonformerWalk(backend, schema, "p")()
+    assert result == {"cells": [{"v": 1}, {"v": 2}]}
+    # every prefix the backend saw is a valid JSON prefix of the final doc
+    final = json.dumps(result)
+    for prefix in backend.prefixes:
+        assert final.startswith(prefix.rstrip('"')) or GENERATION_MARKER not in prefix
