@@ -10,11 +10,13 @@ The reference is driven through docling-serve's HTTP protocol
   GET  /v1/result/{task_id}           -> the extraction result as JSON
 
 This module serves the SAME protocol over ``plans/jobs.py``: submission
-allocates a lineage-backed checkpointed run, a single background worker
-thread advances jobs group-by-group (each advance = one idempotent Spark
-job; HTTP handler threads never touch Spark), and status/result are read
-from the lineage/output tables — so a killed server resumes exactly where
-it stopped, and any number of front ends can serve the same job root.
+allocates a lineage-backed checkpointed run; a single background worker
+thread runs ALL extraction work, advancing jobs group-by-group (each
+advance = one idempotent Spark job); handler threads only submit specs and
+run read-only lineage/output queries (concurrent job submission is
+thread-safe on a SparkSession).  Status lives in the lineage table, so a
+killed server resumes exactly where it stopped and any number of front
+ends can serve the same job root.
 
 Request body: {"sources": [{"kind": "sf_dir", "path": "/data/sfX"}],
 "options": {"n_groups": 8}} — the engine's sources are parquet/Iceberg

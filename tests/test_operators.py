@@ -272,10 +272,15 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
         Row(doc_id=2, text=base + " tail words"),   # near-dup of 1
         Row(doc_id=3, text=" ".join(f"z{i}" for i in range(40))),
     ])
-    pairs = {(r.doc_a, r.doc_b) for r in
-             lsh_candidate_pairs(minhash_signature(docs)).collect()}
+    pairs_df = lsh_candidate_pairs(minhash_signature(docs))
+    pairs = {(r.doc_a, r.doc_b) for r in pairs_df.collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+    # the signature projection must sit behind a cache boundary: without it
+    # the banded self-joins re-run the MinHash kernel 2 x n_bands times
+    # (387 s -> 93 s on a 640k-doc sweep)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
 
 
 def test_simhash_and_jaccard_near_dups(spark):
