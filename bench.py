@@ -264,23 +264,28 @@ def run_dedup_sweep(spark, sf_dir: str) -> dict:
     # same dataflow as the config-wired near_duplicate_components, unrolled
     # so the signatures compute ONCE and the pairs stage can be timed/counted
     # without re-running the kernel
-    stats: dict = {}
-    t0 = time.time()
-    pairs = lsh_candidate_pairs(
-        minhash_signature_fast(corpus, k=cfg.minhash_k, n_bands=cfg.minhash_bands)
-    ).localCheckpoint(eager=True)
-    n_pairs = pairs.count()
-    pairs_sec = time.time() - t0
-    n_components = (
-        dup_components(corpus.select("doc_id"), pairs, stats_out=stats)
-        .select("component")
-        .distinct()
-        .count()
-    )
-    total_sec = time.time() - t0
     import shutil
 
-    shutil.rmtree(corpus_dir, ignore_errors=True)
+    from docling_ocr_qwen3vl_spark.operators.dedup import release_signature_caches
+
+    stats: dict = {}
+    try:
+        t0 = time.time()
+        pairs = lsh_candidate_pairs(
+            minhash_signature_fast(corpus, k=cfg.minhash_k, n_bands=cfg.minhash_bands)
+        ).localCheckpoint(eager=True)
+        release_signature_caches()  # pairs are materialized above
+        n_pairs = pairs.count()
+        pairs_sec = time.time() - t0
+        n_components = (
+            dup_components(corpus.select("doc_id"), pairs, stats_out=stats)
+            .select("component")
+            .distinct()
+            .count()
+        )
+        total_sec = time.time() - t0
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     return {
         "replication": rep,
         "n_docs": n_docs,

@@ -164,10 +164,14 @@ class TorchQwenDecoder:
         self._shared = None  # lazy (M2): first decode_page loads the model
 
     def _ensure_loaded(self):
-        """M1/M2: per-executor singleton (model, processor) pair, keyed on
-        (repo_id, device) like the reference registry (_model_registry.py:20),
-        loaded on first use with the resolved attention backend / dtype /
-        quantization plan."""
+        """M1/M2: per-executor singleton (model, processor) pair.
+
+        The reference registry keys on (repo_id, device) only
+        (_model_registry.py:20) and would silently hand a second stage the
+        FIRST stage's precision; the key here additionally splits on
+        (dtype, attention backend, quantization) so differently-configured
+        stages never share a wrong-precision model — stages with identical
+        settings still share one ~5-8 GB load (RECIPES.md:79-84)."""
         if self._shared is None:
             from .generation import quantization_plan
 
@@ -193,7 +197,15 @@ class TorchQwenDecoder:
                 return model, processor
 
             self._shared = get_or_create(
-                ("qwen3vl", self.options.model_repo_id, self.device), load
+                (
+                    "qwen3vl",
+                    self.options.model_repo_id,
+                    self.device,
+                    self.dtype_name,
+                    self.attn_implementation,
+                    self.options.quantization,
+                ),
+                load,
             )
         return self._shared
 
@@ -217,7 +229,13 @@ class TorchQwenDecoder:
         model, processor = self._ensure_loaded()
         image = payload.convert("RGB") if hasattr(payload, "convert") else payload
         json_root = {"layout_json": "array", "table_json": "object"}.get(payload_kind)
-        prompt_mode = "ocr" if payload_kind == "plain_text" else payload_kind
+        # unknown payload kinds fall back to the generic OCR prompt rather
+        # than KeyError-ing the whole Arrow batch — the structural parse
+        # below then passes the output through as a single text span,
+        # matching DeterministicDecoder's never-fail-a-task contract
+        from ..config import DEFAULT_PROMPTS
+
+        prompt_mode = payload_kind if payload_kind in DEFAULT_PROMPTS else "ocr"
         out_text = run_vlm_inference(
             model,
             processor,

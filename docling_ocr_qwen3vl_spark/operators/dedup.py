@@ -231,6 +231,21 @@ def minhash_signature_fast(
     return out.withColumns(cols).drop("_sig")
 
 
+_LIVE_SIGNATURE_CACHES: list[DataFrame] = []
+
+
+def release_signature_caches() -> None:
+    """Unpersist every signature projection cached by lsh_candidate_pairs.
+
+    Call once downstream results are MATERIALIZED (checkpointed/written) —
+    unpersist is always safe (a still-referenced plan recomputes), but
+    releasing too early forfeits the single-computation guarantee.  Pipeline
+    operators that materialize internally (near_duplicate_components, the
+    bench sweep) call this themselves; ad-hoc callers own the lifecycle."""
+    while _LIVE_SIGNATURE_CACHES:
+        _LIVE_SIGNATURE_CACHES.pop().unpersist(blocking=False)
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct candidate pairs sharing at least one LSH band.
 
@@ -252,6 +267,11 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     if not bands:
         raise ValueError("signature table has no bandN columns")
     keyed = signatures.select(id_col, *bands).persist(StorageLevel.MEMORY_AND_DISK)
+    # registered so finished pipelines can release it (a plan can reference
+    # this function's output more than once — e.g. the two-kernel union —
+    # so eager unpersist-previous here would reintroduce the recompute);
+    # see release_signature_caches
+    _LIVE_SIGNATURE_CACHES.append(keyed)
     pairs = None
     for band in bands:
         left = keyed.select(F.col(id_col).alias("doc_a"), F.col(band).alias("bk"))
@@ -431,8 +451,18 @@ def near_duplicate_components(
     sigs = minhash_signature_fast(
         docs, text_col=text_col, k=cfg.minhash_k, n_bands=cfg.minhash_bands
     )
+    mark = len(_LIVE_SIGNATURE_CACHES)
     pairs = lsh_candidate_pairs(sigs, id_col=id_col)
-    return dup_components(docs.select(id_col), pairs, id_col=id_col, stats_out=stats_out)
+    comps = dup_components(
+        docs.select(id_col), pairs, id_col=id_col, stats_out=stats_out
+    )
+    # dup_components eagerly checkpointed the edge set, so THIS call's
+    # signature cache is fully consumed — release it (only ours: earlier
+    # registry entries may belong to plans that have not executed yet)
+    for df in _LIVE_SIGNATURE_CACHES[mark:]:
+        df.unpersist(blocking=False)
+    del _LIVE_SIGNATURE_CACHES[mark:]
+    return comps
 
 
 def propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:

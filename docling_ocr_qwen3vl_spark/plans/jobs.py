@@ -60,6 +60,10 @@ class ExtractJob:
 def submit_job(sf_dir: str, root: str, n_groups: int = 8) -> ExtractJob:
     """Allocate a task_id and persist the job spec (no Spark work yet —
     submission is instant, like the HTTP endpoint's 200 + task_id)."""
+    if n_groups < 1:
+        # a zero-group job could never reach SUCCESS (completed_groups
+        # stays empty) and would spin any scheduler polling it forever
+        raise ValueError(f"n_groups must be >= 1, got {n_groups}")
     job = ExtractJob(task_id=uuid.uuid4().hex[:12], sf_dir=sf_dir, root=root,
                      n_groups=n_groups)
     os.makedirs(os.path.dirname(job.spec_path), exist_ok=True)

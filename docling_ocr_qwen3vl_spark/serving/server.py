@@ -26,6 +26,7 @@ table dirs, not PDF URLs; everything else mirrors the reference protocol.
 from __future__ import annotations
 
 import json
+import os
 import queue
 import re
 import threading
@@ -38,20 +39,41 @@ from ..plans.jobs import PENDING, SUCCESS, ExtractJob, advance_job, load_job, po
 _TASK_RE = re.compile(r"^/v1/(status/poll|result)/([0-9a-f]{12})$")
 
 
+MAX_ADVANCE_ATTEMPT_FAILURES = 3
+MAX_GROUPS = 4096
+
+
 class ServeContext:
-    """Shared state: the Spark session (worker-thread only), the job root,
-    and the advance queue feeding the single worker."""
+    """Shared state: the Spark session (extraction work on the worker
+    thread; read-only polls from handler threads), the job root, and the
+    advance queue feeding the single worker."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.tasks: queue.Queue[str] = queue.Queue()
         self.failures: dict[str, str] = {}
+        self._attempt_failures: dict[str, int] = {}
         self._stop = threading.Event()
         self.worker = threading.Thread(target=self._work, daemon=True)
 
     def start(self) -> None:
+        self._resume_inflight()
         self.worker.start()
+
+    def _resume_inflight(self) -> None:
+        """Restart-resume: re-enqueue every job spec under the root whose
+        lineage says it has not finished — this is what makes a killed
+        server pick up exactly where it stopped."""
+        if not os.path.isdir(self.root):
+            return
+        for task_id in sorted(os.listdir(self.root)):
+            try:
+                job = load_job(self.root, task_id)
+            except (FileNotFoundError, NotADirectoryError, ValueError):
+                continue
+            if poll_job(self.spark, job)["task_status"] != SUCCESS:
+                self.tasks.put(task_id)
 
     def stop(self) -> None:
         self._stop.set()
@@ -60,7 +82,10 @@ class ServeContext:
 
     def _work(self) -> None:
         """Drain the queue; each iteration advances ONE group of one job so
-        a long job cannot starve later submissions (round-robin re-enqueue)."""
+        a long job cannot starve later submissions (round-robin re-enqueue).
+        Transient advance failures retry (the checkpointed run is
+        idempotent); only MAX_ADVANCE_ATTEMPT_FAILURES consecutive errors
+        mark the task failed."""
         while not self._stop.is_set():
             task_id = self.tasks.get()
             if self._stop.is_set() or not task_id:
@@ -68,10 +93,16 @@ class ServeContext:
             try:
                 job = load_job(self.root, task_id)
                 advance_job(self.spark, job, max_groups=1)
+                self._attempt_failures.pop(task_id, None)
                 if poll_job(self.spark, job)["task_status"] != SUCCESS:
                     self.tasks.put(task_id)
-            except Exception as exc:  # surfaced as task_status=failure
-                self.failures[task_id] = f"{type(exc).__name__}: {exc}"
+            except Exception as exc:
+                n = self._attempt_failures.get(task_id, 0) + 1
+                self._attempt_failures[task_id] = n
+                if n < MAX_ADVANCE_ATTEMPT_FAILURES:
+                    self.tasks.put(task_id)  # idempotent: safe to retry
+                else:
+                    self.failures[task_id] = f"{type(exc).__name__}: {exc}"
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -109,7 +140,10 @@ class _Handler(BaseHTTPRequestHandler):
         if job is None:
             self._json(404, {"error": f"unknown task_id {task_id}"})
             return
-        if task_id in self.ctx.failures:
+        status = poll_job(self.ctx.spark, job)
+        # the durable lineage status WINS over process-local failure state:
+        # another front end sharing the root may have finished the job
+        if status["task_status"] != SUCCESS and task_id in self.ctx.failures:
             self._json(
                 200,
                 {
@@ -119,7 +153,6 @@ class _Handler(BaseHTTPRequestHandler):
                 },
             )
             return
-        status = poll_job(self.ctx.spark, job)
         if endpoint == "status/poll":
             self._json(200, status)
             return
@@ -143,17 +176,29 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/v1/convert/source/async":
             self._json(404, {"error": "unknown endpoint"})
             return
-        length = int(self.headers.get("Content-Length", "0"))
         try:
+            length = int(self.headers.get("Content-Length", "0"))
             body = json.loads(self.rfile.read(length) or b"{}")
             source = body["sources"][0]
             if source.get("kind") != "sf_dir":
                 raise ValueError("sources[0].kind must be 'sf_dir'")
             sf_dir = source["path"]
-        except (KeyError, IndexError, ValueError, json.JSONDecodeError) as exc:
+            options = body.get("options") or {}
+            n_groups = int(options.get("n_groups", 8))
+            if not 1 <= n_groups <= MAX_GROUPS:
+                raise ValueError(f"n_groups must be in [1, {MAX_GROUPS}]")
+        except (
+            KeyError,
+            IndexError,
+            ValueError,
+            TypeError,
+            AttributeError,
+            json.JSONDecodeError,
+        ) as exc:
+            # wrong-SHAPE bodies (non-dict root, non-dict source, bad
+            # numeric types) must 400, not kill the handler thread
             self._json(400, {"error": str(exc)})
             return
-        n_groups = int(body.get("options", {}).get("n_groups", 8))
         job = submit_job(sf_dir, self.ctx.root, n_groups=n_groups)
         self.ctx.tasks.put(job.task_id)
         self._json(

@@ -100,6 +100,49 @@ def test_protocol_errors(serve, sf_dir):
         {"sources": [{"kind": "http", "url": "http://x"}]},
     )
     assert code == 400 and "sf_dir" in body["error"]
+    # wrong-SHAPE bodies must 400, never kill the handler thread
+    for bad in ([], "x", {"sources": ["x"]}, {"sources": {"kind": "sf_dir"}}):
+        code, _ = _post(f"{serve}/v1/convert/source/async", bad)
+        assert code == 400, bad
+    # n_groups outside [1, MAX] (0 would spin the worker forever)
+    for n in (0, -1, "abc", 10**9):
+        code, _ = _post(
+            f"{serve}/v1/convert/source/async",
+            {"sources": [{"kind": "sf_dir", "path": sf_dir}],
+             "options": {"n_groups": n}},
+        )
+        assert code == 400, n
+    # the server still works after all of that
+    assert _get(f"{serve}/health")[0] == 200
+
+
+def test_restart_resume_picks_up_inflight_jobs(spark, sf_dir, tmp_path):
+    """Kill-and-restart: a new ServeContext on the same root re-enqueues the
+    unfinished job and completes it without a client resubmission."""
+    from docling_ocr_qwen3vl_spark.plans.jobs import advance_job, submit_job
+    from docling_ocr_qwen3vl_spark.serving.server import make_server
+
+    root = str(tmp_path / "jobs")
+    job = submit_job(sf_dir, root, n_groups=4)
+    advance_job(spark, job, max_groups=2)  # partially done, then "killed"
+
+    server, ctx = make_server(spark, root)
+    ctx.start()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        deadline = time.time() + 300
+        while True:
+            code, status = _get(f"{base}/v1/status/poll/{job.task_id}")
+            assert code == 200
+            if status["task_status"] == "success":
+                break
+            assert time.time() < deadline, status
+            time.sleep(1)
+    finally:
+        server.shutdown()
+        ctx.stop()
 
 
 def test_result_before_finish_conflicts(serve, spark, sf_dir, tmp_path):
