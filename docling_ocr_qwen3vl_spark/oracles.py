@@ -254,7 +254,12 @@ m AS (
       / CAST(len(ws) AS DOUBLE) AS symbol_ratio,
     CAST(len(list_filter(string_split(text, chr(10)),
                          ln -> regexp_matches(ln, '\.\.\.$'))) AS DOUBLE)
-      / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS ell_ratio
+      / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS ell_ratio,
+    CAST(len(string_split(text, chr(10)))
+         - len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+      / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS dup_line_fraction,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+      / CAST(len(ws) AS DOUBLE) AS alpha_ratio
   FROM docs
 )
 SELECT doc_id,
@@ -262,8 +267,11 @@ SELECT doc_id,
   (mean_len >= 2.0 AND mean_len <= 12.0) AS ok_mean_word_len,
   (symbol_ratio <= 0.1) AS ok_symbol_ratio,
   (ell_ratio <= 0.3) AS ok_ellipsis_lines,
+  (dup_line_fraction <= 0.3) AS ok_dup_lines,
+  (alpha_ratio >= 0.8) AS ok_alpha_words,
   ((n >= 5 AND n <= 100000) AND (mean_len >= 2.0 AND mean_len <= 12.0)
-   AND symbol_ratio <= 0.1 AND ell_ratio <= 0.3) AS keep
+   AND symbol_ratio <= 0.1 AND ell_ratio <= 0.3
+   AND dup_line_fraction <= 0.3 AND alpha_ratio >= 0.8) AS keep
 FROM m
 """
 )

@@ -455,17 +455,31 @@ def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(lines, lambda ln: ln.rlike(r"\.\.\.$"))
     ).cast("double")
     ellipsis_line_ratio = ellipsis_lines / F.size(lines).cast("double")
+    # Gopher duplicate-line fraction: repeated lines signal boilerplate
+    dup_line_fraction = (
+        F.size(lines) - F.size(F.array_distinct(lines))
+    ).cast("double") / F.size(lines).cast("double")
+    # Gopher alphabetic-word ratio: most words must contain a letter
+    alpha_ratio = F.size(
+        F.filter(F.col("ws"), lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("double") / n
     ok_words = (n >= 5) & (n <= 100000)
     ok_mean = (mean_len >= 2.0) & (mean_len <= 12.0)
     ok_symbols = symbol_ratio <= 0.1
     ok_ellipsis = ellipsis_line_ratio <= 0.3
+    ok_dup_lines = dup_line_fraction <= 0.3
+    ok_alpha = alpha_ratio >= 0.8
     return d.select(
         "doc_id",
         ok_words.alias("ok_word_count"),
         ok_mean.alias("ok_mean_word_len"),
         ok_symbols.alias("ok_symbol_ratio"),
         ok_ellipsis.alias("ok_ellipsis_lines"),
-        (ok_words & ok_mean & ok_symbols & ok_ellipsis).alias("keep"),
+        ok_dup_lines.alias("ok_dup_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        (
+            ok_words & ok_mean & ok_symbols & ok_ellipsis & ok_dup_lines & ok_alpha
+        ).alias("keep"),
     )
 
 
