@@ -45,7 +45,7 @@ def extract(
             enabled.extend(kinds)
     if len(enabled) < sum(len(k) for k in _STAGE_KINDS.values()):
         pages = pages.filter(F.col("payload_kind").isin(*enabled))
-    spans = number_spans(decode_pages(pages))
+    spans = number_spans(decode_pages(pages, config=cfg))
     return assemble_documents(spans) if nested else spans
 
 

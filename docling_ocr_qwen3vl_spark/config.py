@@ -116,7 +116,8 @@ class ExtractConfig:
     do_code_formula: bool = False
     # scale knobs
     num_partitions: int | None = None  # None -> defaultParallelism * 2
-    n_checkpoint_groups: int = 64
+    # (checkpoint group count lives on CheckpointedRun / submit_job — the
+    # single source of truth; a duplicate knob here was dead and misleading)
     # near-dup sweep knobs, consumed by operators.dedup.
     # near_duplicate_components (k=8/2 matches the small-SF oracle;
     # production corpora run k=64, 8-16 bands)

@@ -129,7 +129,7 @@ class TorchQwenDecoder:
         self,
         options=None,
         model_repo_id: str | None = None,
-        device: str = "cuda",
+        device: str | None = None,
         micro_batch: int = 8,
     ):
         import dataclasses
@@ -145,7 +145,8 @@ class TorchQwenDecoder:
         )
         if model_repo_id is not None:
             self.options.model_repo_id = normalize_model_repo_id(model_repo_id)
-        self.device = device
+        # explicit constructor arg wins; else the options' device; else cuda
+        self.device = device or self.options.device or "cuda"
         self.micro_batch = micro_batch
         # M7/M9: resolved BEFORE the torch gate — pure selection logic
         self.attn_implementation = select_attention_backend(
@@ -178,15 +179,24 @@ class TorchQwenDecoder:
             def load():
                 import transformers
 
+                auth_kwargs = {
+                    "trust_remote_code": self.options.trust_remote_code,
+                    "token": self.options.hf_token,
+                }
                 processor = transformers.AutoProcessor.from_pretrained(
-                    self.options.model_repo_id
+                    self.options.model_repo_id, **auth_kwargs
                 )
                 load_kwargs = {
                     "device_map": self.device,
                     "attn_implementation": self.attn_implementation,
                     "dtype": self.dtype_name,
+                    **auth_kwargs,
                 }
-                quant = quantization_plan(self.options.quantization)
+                quant = quantization_plan(
+                    self.options.quantization,
+                    bnb_4bit_quant_type=self.options.bnb_4bit_quant_type,
+                    bnb_4bit_use_double_quant=self.options.bnb_4bit_use_double_quant,
+                )
                 if quant is not None:
                     load_kwargs["quantization_config"] = (
                         transformers.BitsAndBytesConfig(**quant)
@@ -212,55 +222,89 @@ class TorchQwenDecoder:
     def decode_page(self, payload_kind: str, payload) -> list[tuple]:
         """payload = the page raster (PIL image) on GPU deployments.
 
-        Runs the reference loop (qwen_runner.py:63-190) via
-        ``generation.run_vlm_inference`` — chat template, regime-switched
-        generate under no_grad, input-token slice, think strip before
-        decode, batch_decode + strip; the layout/table payload kinds take
-        the constrained single-shot JSON path (T11) instead — then applies
-        the SAME structural parse as DeterministicDecoder and releases the
-        VRAM cache (M6).  Control flow is pinned by a mocked-torch unit
-        test (tests/test_torch_decoder.py); only the real tensors need a
-        GPU deployment."""
+        Runs the reference loop (qwen_runner.py:63-190) as a micro-batch of
+        one — chat template, regime-switched generate under no_grad,
+        input-token slice, think strip before decode, batch_decode + strip;
+        the layout/table payload kinds take the constrained single-shot
+        JSON path (T11) instead — then the SAME structural parse as
+        DeterministicDecoder.  Control flow is pinned by a mocked-torch
+        unit test (tests/test_torch_decoder.py); only the real tensors need
+        a GPU deployment."""
+        return self.decode_batch([(payload_kind, payload)])[0]
+
+    def decode_batch(self, pages: list[tuple]) -> list[list[tuple]]:
+        """M3 micro-batching: ``pages`` = [(payload_kind, payload raster)].
+
+        Rows are grouped by payload kind (each kind has its own prompt /
+        decode regime) and chunked to ``self.micro_batch`` images per
+        ``model.generate`` — ONE forward pass per chunk instead of one per
+        page — then every output takes the SAME structural parse as
+        DeterministicDecoder.  VRAM cache released per chunk (M6)."""
         import torch
 
-        from ..config import resolve_prompt
-        from .generation import run_vlm_inference
+        from ..config import DEFAULT_PROMPTS, resolve_prompt
+        from .generation import micro_batches, run_vlm_inference_batch
 
         model, processor = self._ensure_loaded()
-        image = payload.convert("RGB") if hasattr(payload, "convert") else payload
-        json_root = {"layout_json": "array", "table_json": "object"}.get(payload_kind)
-        # unknown payload kinds fall back to the generic OCR prompt rather
-        # than KeyError-ing the whole Arrow batch — the structural parse
-        # below then passes the output through as a single text span,
-        # matching DeterministicDecoder's never-fail-a-task contract
-        from ..config import DEFAULT_PROMPTS
+        results: list = [None] * len(pages)
+        by_kind: dict[str, list[int]] = {}
+        for i, (kind, _) in enumerate(pages):
+            by_kind.setdefault(kind, []).append(i)
+        parse = DeterministicDecoder().decode_page
+        for payload_kind, indices in by_kind.items():
+            json_root = {"layout_json": "array", "table_json": "object"}.get(
+                payload_kind
+            )
+            # unknown payload kinds fall back to the generic OCR prompt
+            # rather than KeyError-ing the whole Arrow batch — the
+            # structural parse then passes the output through as a single
+            # text span (DeterministicDecoder's never-fail-a-task contract)
+            prompt_mode = payload_kind if payload_kind in DEFAULT_PROMPTS else "ocr"
+            prompt = resolve_prompt(
+                prompt_mode, getattr(self.options, "prompt_overrides", None)
+            )
+            for chunk in micro_batches(indices, self.micro_batch):
+                images = [
+                    p.convert("RGB") if hasattr(p, "convert") else p
+                    for p in (pages[i][1] for i in chunk)
+                ]
+                texts = run_vlm_inference_batch(
+                    model, processor, torch, images, prompt_mode, prompt,
+                    self.options, json_root=json_root,
+                )
+                for i, out_text in zip(chunk, texts):
+                    results[i] = parse(payload_kind, out_text)
+                if torch.cuda.is_available():  # M6: per-chunk cache release
+                    torch.cuda.empty_cache()
+        return results
 
-        prompt_mode = payload_kind if payload_kind in DEFAULT_PROMPTS else "ocr"
-        out_text = run_vlm_inference(
-            model,
-            processor,
-            torch,
-            image,
-            prompt_mode,
-            resolve_prompt(prompt_mode, getattr(self.options, "prompt_overrides", None)),
-            self.options,
-            json_root=json_root,
-        )
-        if torch.cuda.is_available():  # M6: per-page cache release
-            torch.cuda.empty_cache()
-        # identical downstream structural parse -> backend-independent spans
-        return DeterministicDecoder().decode_page(payload_kind, out_text)
 
+def get_decoder(
+    backend: str = "deterministic",
+    simulate_cost_us: int = 0,
+    decoder_opts: dict | None = None,
+):
+    """Per-worker singleton decoder (one instance per Python worker).
 
-def get_decoder(backend: str = "deterministic", simulate_cost_us: int = 0):
-    """Per-worker singleton decoder (one instance per Python worker)."""
+    ``decoder_opts`` carries the ExtractConfig decode knobs (prompt_mode /
+    prompt_overrides / page_scale / any StageOptions field) as a plain dict
+    so it pickles into the mapInPandas closure; the deterministic stub
+    ignores them (its payloads already ARE the markup)."""
     if backend == "deterministic":
         return get_or_create(
             ("decoder", backend, simulate_cost_us),
             lambda: DeterministicDecoder(simulate_cost_us),
         )
     if backend == "qwen3vl":
-        return get_or_create(
-            ("decoder", backend), lambda: TorchQwenDecoder()
-        )
+        opts = decoder_opts or {}
+        key = ("decoder", backend, tuple(sorted(
+            (k, str(v)) for k, v in opts.items()
+        )))
+
+        def build():
+            from ..config import Qwen3VlOcrOptions
+
+            return TorchQwenDecoder(options=Qwen3VlOcrOptions(**opts))
+
+        return get_or_create(key, build)
     raise ValueError(f"unknown decoder backend: {backend}")

@@ -137,38 +137,43 @@ def slice_after_think(token_ids: list[int], marker: int = THINK_END_TOKEN_ID) ->
     return token_ids
 
 
-def run_vlm_inference(
+def run_vlm_inference_batch(
     model,
     processor,
     torch_mod,
-    image,
+    images: list,
     prompt_mode: str,
     prompt: str,
     options,
     json_root: str | None = None,
-) -> str:
-    """The reference inference loop (qwen_runner.py:102-162), call-for-call,
-    with the tensor-owning objects INJECTED so the control flow is unit-
-    testable under mocks and identical on a real GPU deployment:
+) -> list[str]:
+    """The reference inference loop (qwen_runner.py:102-162), call-for-call
+    but over a MICRO-BATCH of images in one ``model.generate`` (M3: the
+    forward-pass overhead amortizes across the batch; the reference runs
+    one image per call).  Tensor-owning objects are INJECTED so the control
+    flow is unit-testable under mocks and identical on a GPU deployment:
 
       apply_chat_template -> [inject JSON prefix (T11)] -> processor() ->
       .to(device) -> torch.no_grad(): model.generate(**regime kwargs) ->
-      slice off the input tokens -> think-token suffix slice (M4, BEFORE
-      decode — skip_special_tokens would strip the markers) ->
-      batch_decode(skip_special_tokens, clean_up_tokenization_spaces) ->
-      strip [-> re-attach JSON prefix (T11)].
+      slice off the (padded-common-length) input tokens -> per-row
+      think-token suffix slice (M4, BEFORE decode — skip_special_tokens
+      would strip the markers) -> batch_decode(skip_special_tokens,
+      clean_up_tokenization_spaces) -> strip [-> re-attach JSON prefix].
 
     ``json_root`` switches to the constrained single-shot JSON path
     (_vlm_jsonformer.py:105-160): assistant-prefix bracket injection and
     the fixed deterministic kwargs."""
-    messages = build_chat_messages(prompt_mode, prompt, image)
-    text_input = processor.apply_chat_template(
-        messages, tokenize=False, add_generation_prompt=True
-    )
-    if json_root is not None:
-        text_input = inject_assistant_prefix(text_input, json_root)
+    text_inputs = []
+    for image in images:
+        messages = build_chat_messages(prompt_mode, prompt, image)
+        text_input = processor.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+        if json_root is not None:
+            text_input = inject_assistant_prefix(text_input, json_root)
+        text_inputs.append(text_input)
     inputs = processor(
-        text=[text_input], images=[image], padding=True, return_tensors="pt"
+        text=text_inputs, images=list(images), padding=True, return_tensors="pt"
     )
     inputs = inputs.to(model.device)
     if json_root is not None:
@@ -181,14 +186,37 @@ def run_vlm_inference(
         generated_ids = model.generate(**inputs, **gen_kwargs)
     input_len = inputs["input_ids"].shape[1]
     generated_ids = generated_ids[:, input_len:]
-    row = generated_ids[0]
-    token_row = slice_after_think(row.tolist() if hasattr(row, "tolist") else list(row))
-    raw_text = processor.batch_decode(
-        [token_row], skip_special_tokens=True, clean_up_tokenization_spaces=True
-    )[0].strip()
-    if json_root is not None:
-        return finalize_json_output(raw_text, json_root)
-    return raw_text
+    token_rows = []
+    for i in range(len(images)):
+        row = generated_ids[i]
+        token_rows.append(
+            slice_after_think(row.tolist() if hasattr(row, "tolist") else list(row))
+        )
+    raw_texts = processor.batch_decode(
+        token_rows, skip_special_tokens=True, clean_up_tokenization_spaces=True
+    )
+    out = []
+    for raw in raw_texts:
+        raw = raw.strip()
+        out.append(finalize_json_output(raw, json_root) if json_root else raw)
+    return out
+
+
+def run_vlm_inference(
+    model,
+    processor,
+    torch_mod,
+    image,
+    prompt_mode: str,
+    prompt: str,
+    options,
+    json_root: str | None = None,
+) -> str:
+    """Single-image form: a micro-batch of one (see run_vlm_inference_batch)."""
+    return run_vlm_inference_batch(
+        model, processor, torch_mod, [image], prompt_mode, prompt, options,
+        json_root=json_root,
+    )[0]
 
 
 def select_attention_backend(requested: str) -> str:

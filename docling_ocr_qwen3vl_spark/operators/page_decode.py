@@ -44,48 +44,71 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # worker-side import: the singleton registry lives in the Python worker
-    import os
+def _make_decode_batches(backend: str, decoder_opts: dict | None):
+    """Closure factory: captures the broadcastable decode config as plain
+    values (the mapInPandas fn must pickle to the Python workers)."""
 
-    from docling_ocr_qwen3vl_spark.inference.decoder import get_decoder
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-side import: the singleton registry lives in the Python worker
+        import os
 
-    cost_us = int(os.environ.get("SPARK_GRAFT_DECODE_COST_US", "0"))
-    decoder = get_decoder("deterministic", simulate_cost_us=cost_us)
-    decode_page = decoder.decode_page
-    for batch in batches:
-        doc_ids: list[str] = []
-        page_nos: list[int] = []
-        seqs: list[int] = []
-        kinds: list[str] = []
-        texts: list[str] = []
-        y1s: list[int] = []
-        x1s: list[int] = []
-        for doc_id, page_no, payload_kind, payload in zip(
-            batch["doc_id"], batch["page_no"], batch["payload_kind"], batch["payload"]
-        ):
-            for seq, kind, text, y1, x1 in decode_page(payload_kind, payload):
-                doc_ids.append(doc_id)
-                page_nos.append(page_no)
-                seqs.append(seq)
-                kinds.append(kind)
-                texts.append(text)
-                y1s.append(y1)
-                x1s.append(x1)
-        yield pd.DataFrame(
-            {
-                "doc_id": pd.Series(doc_ids, dtype="object"),
-                "page_no": pd.Series(page_nos, dtype="int32"),
-                "seq": pd.Series(seqs, dtype="int32"),
-                "kind": pd.Series(kinds, dtype="object"),
-                "text": pd.Series(texts, dtype="object"),
-                "y1": pd.Series(y1s, dtype="int32"),
-                "x1": pd.Series(x1s, dtype="int32"),
-            }
+        from docling_ocr_qwen3vl_spark.inference.decoder import get_decoder
+
+        cost_us = int(os.environ.get("SPARK_GRAFT_DECODE_COST_US", "0"))
+        decoder = get_decoder(
+            backend, simulate_cost_us=cost_us, decoder_opts=decoder_opts
         )
+        decode_page = decoder.decode_page
+        # backends exposing decode_batch (the GPU path) get the whole Arrow
+        # batch at once and micro-batch model calls internally (M3); the
+        # deterministic kernel stays per-row (no batching win to be had)
+        decode_batch = getattr(decoder, "decode_batch", None)
+        for batch in batches:
+            doc_ids: list[str] = []
+            page_nos: list[int] = []
+            seqs: list[int] = []
+            kinds: list[str] = []
+            texts: list[str] = []
+            y1s: list[int] = []
+            x1s: list[int] = []
+            if decode_batch is not None:
+                page_results = decode_batch(
+                    list(zip(batch["payload_kind"], batch["payload"]))
+                )
+            else:
+                page_results = None
+            for row_idx, (doc_id, page_no, payload_kind, payload) in enumerate(zip(
+                batch["doc_id"], batch["page_no"], batch["payload_kind"], batch["payload"]
+            )):
+                elements = (
+                    page_results[row_idx]
+                    if page_results is not None
+                    else decode_page(payload_kind, payload)
+                )
+                for seq, kind, text, y1, x1 in elements:
+                    doc_ids.append(doc_id)
+                    page_nos.append(page_no)
+                    seqs.append(seq)
+                    kinds.append(kind)
+                    texts.append(text)
+                    y1s.append(y1)
+                    x1s.append(x1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="object"),
+                    "page_no": pd.Series(page_nos, dtype="int32"),
+                    "seq": pd.Series(seqs, dtype="int32"),
+                    "kind": pd.Series(kinds, dtype="object"),
+                    "text": pd.Series(texts, dtype="object"),
+                    "y1": pd.Series(y1s, dtype="int32"),
+                    "x1": pd.Series(x1s, dtype="int32"),
+                }
+            )
+
+    return _decode_batches
 
 
-def decode_pages(raw_pages: DataFrame) -> DataFrame:
+def decode_pages(raw_pages: DataFrame, config=None) -> DataFrame:
     """raw_pages -> one row per span-element, in page order.
 
     Output: doc_id, page_no, seq, kind, text, y1, x1, media_ref.
@@ -94,10 +117,25 @@ def decode_pages(raw_pages: DataFrame) -> DataFrame:
     the golden comparison total).  (y1, x1) are the element's 0-1000 layout
     anchor for the reading-order sort (0,0 when the payload carries no
     geometry, preserving emission order).
+
+    ``config`` (ExtractConfig) selects the decode backend and its knobs:
+    decoder_backend ('deterministic' sandbox stub / 'qwen3vl' GPU path),
+    prompt_mode, prompt_overrides, page_scale — shipped to the workers as
+    plain values inside the pickled mapInPandas closure.
     """
+    from ..config import ExtractConfig
+
+    cfg = config or ExtractConfig()
+    decoder_opts = {
+        "prompt_mode": cfg.prompt_mode,
+        "prompt_overrides": dict(cfg.prompt_overrides),
+        "page_scale": cfg.page_scale,
+    }
     decoded = raw_pages.select(
         "doc_id", F.col("page_no").cast("int").alias("page_no"), "payload_kind", "payload"
-    ).mapInPandas(_decode_batches, DECODED_SCHEMA)
+    ).mapInPandas(
+        _make_decode_batches(cfg.decoder_backend, decoder_opts), DECODED_SCHEMA
+    )
     media_ref = F.when(
         F.col("kind") == "media_ref",
         F.format_string(

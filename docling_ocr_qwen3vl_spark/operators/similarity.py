@@ -91,21 +91,10 @@ def ivf_cell(vec: Column, n_cells: int = N_IVF_CELLS) -> Column:
     sample), assign each vector to its cell, and search only within the
     probe cell(s).  Pure column expressions -> portable to the oracle.
     """
-    idx = F.sequence(F.lit(1), F.size(vec))
-
-    def dist2(j: int) -> Column:
-        return F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, k: acc
-            + (F.element_at(vec, k) - _centroid_weight(j, k - 1))
-            * (F.element_at(vec, k) - _centroid_weight(j, k - 1)),
-        )
-
     # one array of distances, argmin via array_position (first match ->
     # deterministic lowest-j tie-break); a chained-when argmin would nest
     # each dist2 exponentially in the expression tree
-    dists = F.array(*[dist2(j) for j in range(n_cells)])
+    dists = F.array(*[_cell_dist2(vec, j) for j in range(n_cells)])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 

@@ -98,12 +98,14 @@ FROM elems
 TEXT_CLEANUP_SQL = r"""
 SELECT doc_id,
   regexp_replace(
-    trim(regexp_replace(
+    regexp_replace(regexp_replace(
       '<div data-bbox="0 0 10 10">' || text || '</div><style>p{margin:0}</style>',
-      '<[^>]+>', ' ', 'g')),
+      '<[^>]+>', ' ', 'g'), '^\s+|\s+$', '', 'g'),
     '\s+', ' ', 'g') AS clean_text,
   text AS out_text,
-  'owner' || CAST(doc_id % 7 AS VARCHAR) || '/repo' || CAST(doc_id % 5 AS VARCHAR) AS repo_id
+  'owner' || CAST(doc_id % 7 AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN '--extra' ELSE '' END
+    || '/repo' || CAST(doc_id % 5 AS VARCHAR) AS repo_id
 FROM documents
 """
 

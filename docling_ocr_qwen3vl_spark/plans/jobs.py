@@ -67,10 +67,14 @@ def submit_job(sf_dir: str, root: str, n_groups: int = 8) -> ExtractJob:
     job = ExtractJob(task_id=uuid.uuid4().hex[:12], sf_dir=sf_dir, root=root,
                      n_groups=n_groups)
     os.makedirs(os.path.dirname(job.spec_path), exist_ok=True)
-    with open(job.spec_path, "w") as fh:
+    # write-then-rename: a submit killed mid-write must never leave a
+    # truncated job.json for pollers/restart-resume to trip over
+    tmp_path = job.spec_path + ".tmp"
+    with open(tmp_path, "w") as fh:
         json.dump(
             {"task_id": job.task_id, "sf_dir": sf_dir, "n_groups": n_groups}, fh
         )
+    os.replace(tmp_path, job.spec_path)
     return job
 
 

@@ -45,6 +45,7 @@ def extract_spans(
     sf_dir: str,
     documents: DataFrame | None = None,
     num_partitions: int | None = None,
+    config=None,
 ) -> DataFrame:
     """Flat span table: (doc_id, offset, kind, text, media_ref).
 
@@ -53,7 +54,7 @@ def extract_spans(
     Python pass, one more for the offset window.
     """
     raw_pages = synth_raw_pages(spark, sf_dir, documents, num_partitions)
-    elements = decode_pages(raw_pages)
+    elements = decode_pages(raw_pages, config=config)
     return number_spans(elements)
 
 
@@ -71,6 +72,7 @@ def extract_spans_from_interleaved(
     spark: SparkSession,
     interleaved: DataFrame,
     num_partitions: int | None = None,
+    config=None,
 ) -> DataFrame:
     """BASELINE.json input_hint path: the INPUT is itself an interleaved
     (doc_id, spans[]) table whose raw_html/raw_text spans carry payloads and
@@ -102,7 +104,7 @@ def extract_spans_from_interleaved(
         payload_kind.alias("payload_kind"),
         "payload",
     )
-    decoded = decode_pages(raw_pages)
+    decoded = decode_pages(raw_pages, config=config)
 
     media_rows = rows.filter(F.col("in_kind") == "media").select(
         "doc_id",

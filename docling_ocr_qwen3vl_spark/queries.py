@@ -94,12 +94,19 @@ def q_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 2 == 0,
         F.concat(F.lit("chain of thought...</think>"), F.col("text")),
     ).otherwise(F.col("text"))
+    # docs where doc_id % 3 == 0 get a multi-'--' owner — the case where
+    # greedy-owner semantics (a--b--c -> a--b/c) differ from replace-all
     cache_path = F.concat(
         F.lit("models--owner"), (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("--extra")).otherwise(F.lit("")),
         F.lit("--repo"), (F.col("doc_id") % 5).cast("string"),
     )
-    repo_id = F.regexp_replace(
-        F.regexp_extract(cache_path, r"^models--(.+)$", 1), "--", "/"
+    # greedy owner group exactly like config.normalize_model_repo_id (M10):
+    # `(.+)--` grabs everything up to the LAST '--'; repo = final segment
+    repo_id = F.concat(
+        F.regexp_extract(cache_path, r"^models--(.+)--", 1),
+        F.lit("/"),
+        F.element_at(F.split(cache_path, "--"), -1),
     )
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -510,14 +517,9 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
     joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
+    from .operators.similarity import cosine
 
-    sim = dot(F.col("v"), F.col("q")) / (
-        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("q"), F.col("q")))
-    )
+    sim = cosine(F.col("v"), F.col("q"))
     ranked = joined.select("vec_id", sim.alias("sim"))
     w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (

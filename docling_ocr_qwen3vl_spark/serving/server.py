@@ -70,8 +70,9 @@ class ServeContext:
         for task_id in sorted(os.listdir(self.root)):
             try:
                 job = load_job(self.root, task_id)
-            except (FileNotFoundError, NotADirectoryError, ValueError):
-                continue
+            except (FileNotFoundError, NotADirectoryError, KeyError,
+                    ValueError, json.JSONDecodeError):
+                continue  # stray files / corrupt specs must not block startup
             if poll_job(self.spark, job)["task_status"] != SUCCESS:
                 self.tasks.put(task_id)
 
@@ -123,7 +124,10 @@ class _Handler(BaseHTTPRequestHandler):
     def _job(self, task_id: str) -> ExtractJob | None:
         try:
             return load_job(self.ctx.root, task_id)
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError, KeyError,
+                ValueError, json.JSONDecodeError):
+            # missing OR corrupt/truncated spec both read as "unknown task"
+            # rather than killing the handler thread
             return None
 
     # -- protocol ---------------------------------------------------------

@@ -97,24 +97,39 @@ def start_windowed_stream(
 # Custom stateful operator: per-user running totals via applyInPandasWithState
 # ---------------------------------------------------------------------------
 
-STATE_SCHEMA = "n long, total double"
+STATE_SCHEMA = "n long, total_micros long"
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 
 
 def _update_user_state(key, pdf_iter, state):
     """One state row per user: (event count, value sum), updated per batch.
 
-    Pure accumulation — emits the user's CURRENT totals once per batch in
-    which the user appears (update semantics)."""
-    n, total = state.get if state.exists else (0, 0.0)
+    Money math in integer MICRO-units, exactly like the batch twin's
+    DECIMAL(18,6) sum: each double is quantized half-up at 6 dp (Spark's
+    double->decimal cast uses the shortest round-trip repr, which
+    Decimal(repr(v)) reproduces) and summed as an exact integer, so the
+    total is independent of micro-batch boundaries and addition order —
+    a raw float accumulator + Python round() (banker's) could flip the
+    4-dp rounding vs the batch result.  Emits the user's CURRENT totals
+    once per batch in which the user appears (update semantics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    micro = Decimal("0.000001")
+    n, total_micros = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        for v in pdf["value"]:
+            total_micros += int(
+                Decimal(repr(float(v))).quantize(micro, ROUND_HALF_UP).scaleb(6)
+            )
+    state.update((n, total_micros))
+    total = float(
+        Decimal(total_micros).scaleb(-6).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )
     import pandas as pd
 
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
     )
 
 

@@ -483,3 +483,25 @@ def test_review_fix_regressions(spark):
     comps = {r.doc_id: r.component for r in near_duplicate_components(
         corpus, ExtractConfig(minhash_k=16, minhash_bands=4)).collect()}
     assert comps[1] == comps[2] == 1 and comps[3] == 3
+
+
+def test_decoder_backend_config_reaches_worker(spark, sf_dir):
+    """extract()/decode_pages must consult ExtractConfig.decoder_backend —
+    a bogus backend fails the decode stage (previously the config knob was
+    silently ignored and the deterministic stub always ran)."""
+    import pandas as pd
+    import pytest
+
+    from docling_ocr_qwen3vl_spark.operators.page_decode import _make_decode_batches
+
+    fn = _make_decode_batches("no-such-backend", None)
+    batch = pd.DataFrame(
+        {"doc_id": ["1"], "page_no": [0], "payload_kind": ["plain_text"],
+         "payload": ["hello"]}
+    )
+    with pytest.raises(ValueError, match="unknown decoder backend"):
+        list(fn(iter([batch])))
+    # and the deterministic backend still decodes through the same closure
+    ok = _make_decode_batches("deterministic", None)
+    out = pd.concat(list(ok(iter([batch]))))
+    assert list(out["text"]) == ["hello"]

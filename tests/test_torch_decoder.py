@@ -65,6 +65,7 @@ class FakeProcessor:
     def __call__(self, *, text, images, padding, return_tensors):
         self.calls.append(("process", text, images, padding, return_tensors))
         self.last_text = text[0]
+        self.model.next_n = len(text)  # batch size flows to generate()
         return FakeInputs(input_ids=FakeIds(5), pixel_values="px")
 
     def batch_decode(self, ids, *, skip_special_tokens, clean_up_tokenization_spaces):
@@ -72,7 +73,7 @@ class FakeProcessor:
             ("decode", [list(i) for i in ids], skip_special_tokens,
              clean_up_tokenization_spaces)
         )
-        return [self.decode_result]
+        return [self.decode_result] * len(ids)
 
 
 class FakeModel:
@@ -81,11 +82,18 @@ class FakeModel:
     def __init__(self, output_ids):
         self.output_ids = output_ids
         self.generate_kwargs = None
+        self.generate_calls = 0
+        self.generate_batch_sizes = []
+        self.next_n = 1
 
     def generate(self, **kwargs):
         self.generate_kwargs = kwargs
-        # echo 5 "input" tokens then the scripted continuation
-        return FakeTensor2D([[1, 2, 3, 4, 5] + list(self.output_ids)])
+        self.generate_calls += 1
+        self.generate_batch_sizes.append(self.next_n)
+        # echo 5 "input" tokens then the scripted continuation, per row
+        return FakeTensor2D(
+            [[1, 2, 3, 4, 5] + list(self.output_ids) for _ in range(self.next_n)]
+        )
 
 
 class _NoGrad:
@@ -105,13 +113,22 @@ def _fake_torch():
     return torch
 
 
-def _fake_transformers(model, processor):
+def _fake_transformers(model, processor, load_kwargs_log=None):
     tf = types.ModuleType("transformers")
-    tf.AutoProcessor = types.SimpleNamespace(
-        from_pretrained=lambda repo: processor
-    )
+
+    def processor_load(repo, **kw):
+        if load_kwargs_log is not None:
+            load_kwargs_log.append(("processor", repo, kw))
+        return processor
+
+    def model_load(repo, **kw):
+        if load_kwargs_log is not None:
+            load_kwargs_log.append(("model", repo, kw))
+        return model
+
+    tf.AutoProcessor = types.SimpleNamespace(from_pretrained=processor_load)
     tf.AutoModelForImageTextToText = types.SimpleNamespace(
-        from_pretrained=lambda repo, **kw: model
+        from_pretrained=model_load
     )
     tf.BitsAndBytesConfig = lambda **kw: ("bnb", kw)
     return tf
@@ -124,14 +141,17 @@ def decoder_env(monkeypatch):
 
     processor = FakeProcessor()
     model = FakeModel(output_ids=[])
+    processor.model = model
+    load_log: list = []
     monkeypatch.setitem(sys.modules, "torch", _fake_torch())
     monkeypatch.setitem(
-        sys.modules, "transformers", _fake_transformers(model, processor)
+        sys.modules, "transformers", _fake_transformers(model, processor, load_log)
     )
     registry.clear()
     from docling_ocr_qwen3vl_spark.inference.decoder import TorchQwenDecoder
 
     dec = TorchQwenDecoder(model_repo_id="owner/repo", device="cuda")
+    dec._test_load_log = load_log
     yield dec, model, processor
     registry.clear()
 
@@ -205,6 +225,77 @@ def test_layout_json_single_shot_path(decoder_env):
     assert gk["do_sample"] is False
     # the re-attached prefix made the array parse -> one picture media span
     assert len(out) == 1 and out[0][1] == "media_ref"
+
+
+def test_micro_batched_generate_calls(decoder_env):
+    """M3: decode_batch groups pages by kind and chunks model.generate to
+    micro_batch images per forward pass — 5 same-kind pages at
+    micro_batch=2 -> 3 generate calls of sizes [2, 2, 1], not 5."""
+    dec, model, processor = decoder_env
+    dec.micro_batch = 2
+    model.output_ids = [7]
+    processor.decode_result = "alpha\n\nbeta"
+
+    out = dec.decode_batch([("plain_text", object()) for _ in range(5)])
+
+    assert model.generate_calls == 3
+    assert model.generate_batch_sizes == [2, 2, 1]
+    assert len(out) == 5
+    assert all([e[2] for e in page] == ["alpha", "beta"] for page in out)
+
+
+def test_mixed_kinds_grouped_not_interleaved(decoder_env):
+    """Pages of different kinds never share a generate call (each kind has
+    its own prompt/regime), and results return in input order."""
+    dec, model, processor = decoder_env
+    dec.micro_batch = 8
+    model.output_ids = [7]
+    processor.decode_result = "solo"
+
+    out = dec.decode_batch(
+        [("plain_text", object()), ("qwenvl_html", object()), ("plain_text", object())]
+    )
+    assert model.generate_calls == 2          # one per kind, not three
+    assert model.generate_batch_sizes == [2, 1]
+    assert len(out) == 3 and out[0] and out[2]  # plain rows parsed
+
+
+def test_load_forwards_auth_and_quant_options(decoder_env):
+    """hf_token / trust_remote_code reach BOTH from_pretrained calls, and
+    the int4 bnb fields reach the quantization config (previously dropped)."""
+    from docling_ocr_qwen3vl_spark.config import Qwen3VlOcrOptions
+    from docling_ocr_qwen3vl_spark.inference import registry
+    from docling_ocr_qwen3vl_spark.inference.decoder import TorchQwenDecoder
+
+    dec2 = TorchQwenDecoder(
+        options=Qwen3VlOcrOptions(
+            hf_token="tok-123",
+            quantization="int4",
+            bnb_4bit_quant_type="fp4",
+            bnb_4bit_use_double_quant=False,
+            device="cuda:1",
+        )
+    )
+    assert dec2.device == "cuda:1"  # options.device honored
+    _, model, processor = decoder_env
+    dec2._test_load_log = decoder_env[0]._test_load_log
+    model.output_ids = [7]
+    processor.decode_result = "x"
+    registry.clear()
+    dec2.decode_page("plain_text", object())
+    log = {kind: (repo, kw) for kind, repo, kw in dec2._test_load_log}
+    assert log["processor"][1] == {"trust_remote_code": True, "token": "tok-123"}
+    mkw = log["model"][1]
+    assert mkw["token"] == "tok-123" and mkw["trust_remote_code"] is True
+    assert mkw["quantization_config"] == (
+        "bnb",
+        {
+            "load_in_4bit": True,
+            "bnb_4bit_quant_type": "fp4",
+            "bnb_4bit_use_double_quant": False,
+            "bnb_4bit_compute_dtype": "bfloat16",
+        },
+    )
 
 
 def test_model_loaded_once_per_worker(decoder_env):
