@@ -278,6 +278,64 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.select("doc_id", "blob").mapInPandas(batches, FRAME_SCHEMA)
 
 
+def decode_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Real video keyframe decode via PyAV (import-gated).
+
+    Production slot wired as REAL code: same schema and per-frame fan-out
+    as ``sample_frames`` (drop-in swap), but the frames are actual decoded
+    video frames — container opened with ``av.open``, ``n_frames`` evenly
+    spaced seek points across the duration, nearest decoded frame per
+    point, digest of its RGB plane (the deployment hands the plane to the
+    encoder instead).  Control flow pinned under a mocked av module
+    (tests/test_media_decode.py); undecodable blobs emit no rows rather
+    than failing the task."""
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Real frame decode needs PyAV, which this environment does not "
+            "ship. sample_frames() provides the byte-level stand-in; the "
+            "decode control flow is pinned under a mocked av module in "
+            "tests/test_media_decode.py."
+        ) from exc
+    return media.select("doc_id", "blob").mapInPandas(
+        _decode_frames_batches(n_frames), FRAME_SCHEMA
+    )
+
+
+def _decode_frames_batches(n_frames: int):
+    """Closure factory for decode_frames' worker function (module-level so
+    the mocked-av test can drive it in-process)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import av
+
+        for batch in it:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                data = bytes(blob) if blob is not None else b""
+                try:
+                    container = av.open(io.BytesIO(data))
+                    stream = container.streams.video[0]
+                    duration = float(container.duration) / 1_000_000.0
+                    for i in range(n_frames):
+                        ts = i * duration / n_frames
+                        container.seek(int(ts * 1_000_000))
+                        frame = next(container.decode(stream))
+                        plane = frame.to_ndarray(format="rgb24").tobytes()
+                        rows.append(
+                            (doc_id, i, round(ts, 6),
+                             hashlib.md5(plane).hexdigest())
+                        )
+                except Exception:
+                    continue  # undecodable blob: no rows, never a task failure
+            yield pd.DataFrame(rows, columns=FRAME_SCHEMA.names)
+
+    return batches
+
+
 def resize_plan(
     features: DataFrame, target: int = 224, passthrough: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -98,3 +98,75 @@ def test_decode_media_gate_without_pil():
         pytest.skip("real PIL present; gate cannot fire")
     with pytest.raises(NotImplementedError, match="needs PIL"):
         multimodal.decode_media(object())
+
+
+# ----------------------------------------------------------- mocked av path
+class FakeFrame:
+    def __init__(self, ts):
+        self.ts = ts
+
+    def to_ndarray(self, format):
+        assert format == "rgb24"
+
+        class A:
+            def __init__(self, ts):
+                self.ts = ts
+
+            def tobytes(self):
+                return b"frame@%d" % self.ts
+
+        return A(self.ts)
+
+
+class FakeContainer:
+    def __init__(self, duration_s):
+        self.duration = int(duration_s * 1_000_000)
+        self.streams = types.SimpleNamespace(video=[object()])
+        self._pos = 0
+        self.seeks = []
+
+    def seek(self, micros):
+        self.seeks.append(micros)
+        self._pos = micros
+
+    def decode(self, stream):
+        yield FakeFrame(self._pos)
+
+
+@pytest.fixture()
+def fake_av(monkeypatch):
+    def open_(fh):
+        data = fh.read()
+        if not data.startswith(b"vid:"):
+            raise ValueError("invalid container")
+        return FakeContainer(float(data[4:]))
+
+    av = types.ModuleType("av")
+    av.open = open_
+    monkeypatch.setitem(sys.modules, "av", av)
+    return av
+
+
+def test_decode_frames_even_seeks_and_digests(fake_av):
+    from docling_ocr_qwen3vl_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        _decode_frames_batches,
+    )
+
+    batch = pd.DataFrame({"doc_id": ["v"], "blob": [b"vid:8.0"]})
+    out = pd.concat(list(_decode_frames_batches(4)(iter([batch]))))
+    assert list(out.columns) == FRAME_SCHEMA.names
+    # evenly spaced seek points across the 8 s container: 0, 2, 4, 6 s
+    assert list(out["frame_ts"]) == [0.0, 2.0, 4.0, 6.0]
+    assert list(out["frame_idx"]) == [0, 1, 2, 3]
+    assert out["frame_sha"].iloc[1] == hashlib.md5(b"frame@2000000").hexdigest()
+
+
+def test_decode_frames_skips_undecodable(fake_av):
+    from docling_ocr_qwen3vl_spark.operators.multimodal import _decode_frames_batches
+
+    batch = pd.DataFrame(
+        {"doc_id": ["good", "bad"], "blob": [b"vid:4.0", b"garbage"]}
+    )
+    out = pd.concat(list(_decode_frames_batches(2)(iter([batch]))))
+    assert set(out["doc_id"]) == {"good"} and len(out) == 2
