@@ -207,7 +207,9 @@ def run_host_envelope(lo: int = 8, hi: int = 32, tasks: int = 256, reps: int = 3
             proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             if not line:
-                return {"error": proc.stderr[-300:]}
+                # keep a completed earlier round rather than losing the
+                # whole envelope to one failed burn child
+                return best if best is not None else {"error": proc.stderr[-300:]}
             out[procs] = json.loads(line[-1])["sec"]
         result = {
             "n_cores": lo,

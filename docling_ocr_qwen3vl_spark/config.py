@@ -126,6 +126,11 @@ class ExtractConfig:
 
     def __post_init__(self) -> None:
         self.page_scale = max(1.0, self.page_scale)
+        if self.page_scale > 4.0:
+            # Qwen3VlOcrOptions (which decode_pages builds from this) hard
+            # -requires [1, 4]; reject at the DRIVER instead of failing
+            # every Spark task worker-side mid-job
+            raise ValueError(f"page_scale must be <= 4.0, got {self.page_scale}")
         if self.prompt_mode not in PROMPT_MODES:
             raise ValueError(f"unknown prompt_mode: {self.prompt_mode}")
 

@@ -214,6 +214,10 @@ class TorchQwenDecoder:
                     self.dtype_name,
                     self.attn_implementation,
                     self.options.quantization,
+                    # the bnb sub-options change the loaded weights too —
+                    # omitting them would hand an nf4 model to an fp4 stage
+                    self.options.bnb_4bit_quant_type,
+                    self.options.bnb_4bit_use_double_quant,
                 ),
                 load,
             )
@@ -242,7 +246,7 @@ class TorchQwenDecoder:
         DeterministicDecoder.  VRAM cache released per chunk (M6)."""
         import torch
 
-        from ..config import DEFAULT_PROMPTS, resolve_prompt
+        from ..config import resolve_prompt
         from .generation import micro_batches, run_vlm_inference_batch
 
         model, processor = self._ensure_loaded()
@@ -251,15 +255,27 @@ class TorchQwenDecoder:
         for i, (kind, _) in enumerate(pages):
             by_kind.setdefault(kind, []).append(i)
         parse = DeterministicDecoder().decode_page
+        ocr_mode = getattr(self.options, "prompt_mode", "qwenvl_html")
         for payload_kind, indices in by_kind.items():
             json_root = {"layout_json": "array", "table_json": "object"}.get(
                 payload_kind
             )
-            # unknown payload kinds fall back to the generic OCR prompt
-            # rather than KeyError-ing the whole Arrow batch — the
-            # structural parse then passes the output through as a single
-            # text span (DeterministicDecoder's never-fail-a-task contract)
-            prompt_mode = payload_kind if payload_kind in DEFAULT_PROMPTS else "ocr"
+            if json_root is not None:
+                # layout/table stages have fixed prompts + JSON regimes
+                prompt_mode, parse_kind = payload_kind, payload_kind
+            elif payload_kind in ("plain_text", "ocr", "markdown", "structured",
+                                  "qwenvl_html"):
+                # OCR-ish rasters: the prompt mode comes from OPTIONS, like
+                # the reference's runner.run(image, prompt_mode=options...)
+                # (qwen_runner.py:63) — and the parse must match what the
+                # prompt asked the model to EMIT, not the page's label
+                prompt_mode, parse_kind = ocr_mode, ocr_mode
+            else:
+                # unknown payload kinds fall back to the generic OCR prompt
+                # rather than KeyError-ing the whole Arrow batch — the
+                # structural parse then passes the output through as a
+                # single text span (the never-fail-a-task contract)
+                prompt_mode, parse_kind = "ocr", payload_kind
             prompt = resolve_prompt(
                 prompt_mode, getattr(self.options, "prompt_overrides", None)
             )
@@ -273,7 +289,7 @@ class TorchQwenDecoder:
                     self.options, json_root=json_root,
                 )
                 for i, out_text in zip(chunk, texts):
-                    results[i] = parse(payload_kind, out_text)
+                    results[i] = parse(parse_kind, out_text)
                 if torch.cuda.is_available():  # M6: per-chunk cache release
                     torch.cuda.empty_cache()
         return results
@@ -296,10 +312,12 @@ def get_decoder(
             lambda: DeterministicDecoder(simulate_cost_us),
         )
     if backend == "qwen3vl":
+        import json
+
         opts = decoder_opts or {}
-        key = ("decoder", backend, tuple(sorted(
-            (k, str(v)) for k, v in opts.items()
-        )))
+        # canonical serialization: dict-valued opts (prompt_overrides) must
+        # key identically regardless of insertion order
+        key = ("decoder", backend, json.dumps(opts, sort_keys=True, default=str))
 
         def build():
             from ..config import Qwen3VlOcrOptions

@@ -320,15 +320,17 @@ def _decode_frames_batches(n_frames: int):
                     container = av.open(io.BytesIO(data))
                     stream = container.streams.video[0]
                     duration = float(container.duration) / 1_000_000.0
+                    doc_rows = []  # all-or-nothing: no partial frame sets
                     for i in range(n_frames):
                         ts = i * duration / n_frames
                         container.seek(int(ts * 1_000_000))
                         frame = next(container.decode(stream))
                         plane = frame.to_ndarray(format="rgb24").tobytes()
-                        rows.append(
+                        doc_rows.append(
                             (doc_id, i, round(ts, 6),
                              hashlib.md5(plane).hexdigest())
                         )
+                    rows.extend(doc_rows)
                 except Exception:
                     continue  # undecodable blob: no rows, never a task failure
             yield pd.DataFrame(rows, columns=FRAME_SCHEMA.names)

@@ -73,7 +73,13 @@ class ServeContext:
             except (FileNotFoundError, NotADirectoryError, KeyError,
                     ValueError, json.JSONDecodeError):
                 continue  # stray files / corrupt specs must not block startup
-            if poll_job(self.spark, job)["task_status"] != SUCCESS:
+            try:
+                done = poll_job(self.spark, job)["task_status"] == SUCCESS
+            except Exception:
+                # a corrupt lineage table must fail only ITS task (the
+                # worker will surface it), never block the whole server
+                done = False
+            if not done:
                 self.tasks.put(task_id)
 
     def stop(self) -> None:

@@ -97,6 +97,11 @@ def start_windowed_stream(
 # Custom stateful operator: per-user running totals via applyInPandasWithState
 # ---------------------------------------------------------------------------
 
+# STATE SCHEMA v2 (was "n long, total double"): resuming a checkpoint
+# written by the v1 accumulator is NOT supported — Spark's state-store
+# schema check fails the query at start; restart with a fresh
+# checkpointLocation (the parquet/memory sink is the durable output, and
+# re-processing is idempotent for availableNow batch-style runs)
 STATE_SCHEMA = "n long, total_micros long"
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 

@@ -193,6 +193,7 @@ def test_plain_page_sampling_regime(decoder_env):
     """Non-HTML mode passes the sampling knobs exactly as the reference
     calls model.generate (qwen_runner.py:137-146)."""
     dec, model, processor = decoder_env
+    dec.options.prompt_mode = "ocr"   # reference: the OPTIONS mode governs
     dec.options.do_sample = True
     dec.options.temperature = 0.7
     model.output_ids = [7]
@@ -232,6 +233,7 @@ def test_micro_batched_generate_calls(decoder_env):
     micro_batch images per forward pass — 5 same-kind pages at
     micro_batch=2 -> 3 generate calls of sizes [2, 2, 1], not 5."""
     dec, model, processor = decoder_env
+    dec.options.prompt_mode = "ocr"
     dec.micro_batch = 2
     model.output_ids = [7]
     processor.decode_result = "alpha\n\nbeta"
@@ -248,6 +250,7 @@ def test_mixed_kinds_grouped_not_interleaved(decoder_env):
     """Pages of different kinds never share a generate call (each kind has
     its own prompt/regime), and results return in input order."""
     dec, model, processor = decoder_env
+    dec.options.prompt_mode = "ocr"
     dec.micro_batch = 8
     model.output_ids = [7]
     processor.decode_result = "solo"
