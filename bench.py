@@ -194,9 +194,13 @@ def run_host_envelope(lo: int = 8, hi: int = 32, tasks: int = 256, reps: int = 3
     in the bench JSON makes the stub-regime-vs-host-floor argument
     machine-checkable instead of prose."""
     best = None
-    # the envelope is a CEILING estimate, so take the best of two
+    last_error = None
+    # the envelope is a CEILING estimate, so take the best of up to two
     # independent measurement rounds — a single round taken during another
-    # tenant's burst under-reports what the host can do
+    # tenant's burst under-reports what the host can do.  A failed round
+    # (OOM-killed burn child) is skipped, not fatal; a clean round at/above
+    # the 0.8 bar ends the measurement early (no budget wasted confirming
+    # an already-sufficient ceiling).
     for _ in range(2):
         out = {}
         for procs in (lo, hi):
@@ -207,10 +211,12 @@ def run_host_envelope(lo: int = 8, hi: int = 32, tasks: int = 256, reps: int = 3
             proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             if not line:
-                # keep a completed earlier round rather than losing the
-                # whole envelope to one failed burn child
-                return best if best is not None else {"error": proc.stderr[-300:]}
+                last_error = proc.stderr[-300:]
+                out = None
+                break
             out[procs] = json.loads(line[-1])["sec"]
+        if out is None:
+            continue
         result = {
             "n_cores": lo,
             "n4_cores": hi,
@@ -220,7 +226,9 @@ def run_host_envelope(lo: int = 8, hi: int = 32, tasks: int = 256, reps: int = 3
         }
         if best is None or result["efficiency"] > best["efficiency"]:
             best = result
-    return best
+        if best["efficiency"] >= 0.8:
+            break
+    return best if best is not None else {"error": last_error}
 
 
 def run_dedup_sweep(spark, sf_dir: str) -> dict:

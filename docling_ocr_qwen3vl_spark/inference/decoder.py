@@ -239,8 +239,10 @@ class TorchQwenDecoder:
     def decode_batch(self, pages: list[tuple]) -> list[list[tuple]]:
         """M3 micro-batching: ``pages`` = [(payload_kind, payload raster)].
 
-        Rows are grouped by payload kind (each kind has its own prompt /
-        decode regime) and chunked to ``self.micro_batch`` images per
+        Rows are grouped by their EFFECTIVE (prompt, parse, JSON-root) key
+        — OCR-ish kinds share one options-driven prompt/regime and batch
+        together; layout/table stages have their own — and chunked to
+        ``self.micro_batch`` images per
         ``model.generate`` — ONE forward pass per chunk instead of one per
         page — then every output takes the SAME structural parse as
         DeterministicDecoder.  VRAM cache released per chunk (M6)."""
@@ -251,31 +253,37 @@ class TorchQwenDecoder:
 
         model, processor = self._ensure_loaded()
         results: list = [None] * len(pages)
-        by_kind: dict[str, list[int]] = {}
-        for i, (kind, _) in enumerate(pages):
-            by_kind.setdefault(kind, []).append(i)
-        parse = DeterministicDecoder().decode_page
         ocr_mode = getattr(self.options, "prompt_mode", "qwenvl_html")
-        for payload_kind, indices in by_kind.items():
+
+        def effective(payload_kind: str) -> tuple:
+            """(prompt_mode, parse_kind, json_root) a page actually runs
+            under — the micro-batch grouping key (grouping by raw
+            payload_kind would fragment OCR-ish kinds that share one
+            prompt/regime into separate generate calls)."""
             json_root = {"layout_json": "array", "table_json": "object"}.get(
                 payload_kind
             )
             if json_root is not None:
                 # layout/table stages have fixed prompts + JSON regimes
-                prompt_mode, parse_kind = payload_kind, payload_kind
-            elif payload_kind in ("plain_text", "ocr", "markdown", "structured",
-                                  "qwenvl_html"):
+                return payload_kind, payload_kind, json_root
+            if payload_kind in ("plain_text", "ocr", "markdown", "structured",
+                                "qwenvl_html"):
                 # OCR-ish rasters: the prompt mode comes from OPTIONS, like
                 # the reference's runner.run(image, prompt_mode=options...)
                 # (qwen_runner.py:63) — and the parse must match what the
                 # prompt asked the model to EMIT, not the page's label
-                prompt_mode, parse_kind = ocr_mode, ocr_mode
-            else:
-                # unknown payload kinds fall back to the generic OCR prompt
-                # rather than KeyError-ing the whole Arrow batch — the
-                # structural parse then passes the output through as a
-                # single text span (the never-fail-a-task contract)
-                prompt_mode, parse_kind = "ocr", payload_kind
+                return ocr_mode, ocr_mode, None
+            # unknown payload kinds fall back to the generic OCR prompt
+            # rather than KeyError-ing the whole Arrow batch — the
+            # structural parse then passes the output through as a single
+            # text span (the never-fail-a-task contract)
+            return "ocr", payload_kind, None
+
+        by_group: dict[tuple, list[int]] = {}
+        for i, (kind, _) in enumerate(pages):
+            by_group.setdefault(effective(kind), []).append(i)
+        parse = DeterministicDecoder().decode_page
+        for (prompt_mode, parse_kind, json_root), indices in by_group.items():
             prompt = resolve_prompt(
                 prompt_mode, getattr(self.options, "prompt_overrides", None)
             )

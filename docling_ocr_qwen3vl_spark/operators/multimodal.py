@@ -319,17 +319,29 @@ def _decode_frames_batches(n_frames: int):
                 try:
                     container = av.open(io.BytesIO(data))
                     stream = container.streams.video[0]
-                    duration = float(container.duration) / 1_000_000.0
                     doc_rows = []  # all-or-nothing: no partial frame sets
-                    for i in range(n_frames):
-                        ts = i * duration / n_frames
-                        container.seek(int(ts * 1_000_000))
-                        frame = next(container.decode(stream))
-                        plane = frame.to_ndarray(format="rgb24").tobytes()
-                        doc_rows.append(
-                            (doc_id, i, round(ts, 6),
-                             hashlib.md5(plane).hexdigest())
-                        )
+                    if container.duration is not None:
+                        duration = float(container.duration) / 1_000_000.0
+                        for i in range(n_frames):
+                            ts = i * duration / n_frames
+                            container.seek(int(ts * 1_000_000))
+                            frame = next(container.decode(stream))
+                            plane = frame.to_ndarray(format="rgb24").tobytes()
+                            doc_rows.append(
+                                (doc_id, i, round(ts, 6),
+                                 hashlib.md5(plane).hexdigest())
+                            )
+                    else:
+                        # no duration header (raw H.264 / some MKV): decode
+                        # the FIRST n frames sequentially instead of seeking
+                        for i, frame in zip(range(n_frames),
+                                            container.decode(stream)):
+                            plane = frame.to_ndarray(format="rgb24").tobytes()
+                            ts = float(frame.time) if frame.time is not None else 0.0
+                            doc_rows.append(
+                                (doc_id, i, round(ts, 6),
+                                 hashlib.md5(plane).hexdigest())
+                            )
                     rows.extend(doc_rows)
                 except Exception:
                     continue  # undecodable blob: no rows, never a task failure

@@ -170,3 +170,42 @@ def test_decode_frames_skips_undecodable(fake_av):
     )
     out = pd.concat(list(_decode_frames_batches(2)(iter([batch]))))
     assert set(out["doc_id"]) == {"good"} and len(out) == 2
+
+
+def test_decode_frames_sequential_when_no_duration(fake_av, monkeypatch):
+    """Containers without a duration header (raw H.264, some MKV) decode
+    the first n frames sequentially instead of seeking — not silently
+    dropped."""
+    import sys
+
+    av = sys.modules["av"]
+
+    class SeqFrame:
+        def __init__(self, idx):
+            self.time = idx * 0.5
+
+        def to_ndarray(self, format):
+            class A:
+                def __init__(self, t):
+                    self.t = t
+
+                def tobytes(self):
+                    return b"seq@%f" % self.t
+
+            return A(self.time)
+
+    class NoDurationContainer:
+        duration = None
+        streams = types.SimpleNamespace(video=[object()])
+
+        def decode(self, stream):
+            for i in range(100):
+                yield SeqFrame(i)
+
+    monkeypatch.setattr(av, "open", lambda fh: NoDurationContainer())
+    from docling_ocr_qwen3vl_spark.operators.multimodal import _decode_frames_batches
+
+    batch = pd.DataFrame({"doc_id": ["raw"], "blob": [b"whatever"]})
+    out = pd.concat(list(_decode_frames_batches(3)(iter([batch]))))
+    assert list(out["frame_idx"]) == [0, 1, 2]
+    assert list(out["frame_ts"]) == [0.0, 0.5, 1.0]

@@ -246,9 +246,10 @@ def test_micro_batched_generate_calls(decoder_env):
     assert all([e[2] for e in page] == ["alpha", "beta"] for page in out)
 
 
-def test_mixed_kinds_grouped_not_interleaved(decoder_env):
-    """Pages of different kinds never share a generate call (each kind has
-    its own prompt/regime), and results return in input order."""
+def test_mixed_kinds_grouped_by_effective_regime(decoder_env):
+    """OCR-ish kinds share one options-driven prompt/regime and BATCH
+    TOGETHER; the JSON stages (their own prompt + constrained regime) get
+    separate generate calls.  Results return in input order."""
     dec, model, processor = decoder_env
     dec.options.prompt_mode = "ocr"
     dec.micro_batch = 8
@@ -256,11 +257,14 @@ def test_mixed_kinds_grouped_not_interleaved(decoder_env):
     processor.decode_result = "solo"
 
     out = dec.decode_batch(
-        [("plain_text", object()), ("qwenvl_html", object()), ("plain_text", object())]
+        [("plain_text", object()), ("qwenvl_html", object()),
+         ("layout_json", object()), ("plain_text", object())]
     )
-    assert model.generate_calls == 2          # one per kind, not three
-    assert model.generate_batch_sizes == [2, 1]
-    assert len(out) == 3 and out[0] and out[2]  # plain rows parsed
+    # plain_text + qwenvl_html + plain_text share the 'ocr' regime -> ONE
+    # call of 3; layout_json gets its own constrained call of 1
+    assert model.generate_calls == 2
+    assert sorted(model.generate_batch_sizes) == [1, 3]
+    assert len(out) == 4 and out[0] and out[1] and out[3]  # ocr rows parsed
 
 
 def test_load_forwards_auth_and_quant_options(decoder_env):
