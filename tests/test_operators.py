@@ -505,3 +505,28 @@ def test_decoder_backend_config_reaches_worker(spark, sf_dir):
     ok = _make_decode_batches("deterministic", None)
     out = pd.concat(list(ok(iter([batch]))))
     assert list(out["text"]) == ["hello"]
+
+
+def test_ivf_knn_fast_kernel_matches_expression_kernel(spark):
+    """fast=True (numpy cell assignment + per-cell cogroup matmul top-k)
+    must return exactly the expression kernels' results — same cells, same
+    neighbours, same ranks (the fast path is the 100 TB kernel; the
+    expression path is the oracle-pinned reference)."""
+    import numpy as np
+
+    from docling_ocr_qwen3vl_spark.operators.similarity import ivf_knn
+
+    rng = np.random.RandomState(11)
+    vecs = np.round(rng.uniform(-1, 1, (120, 16)), 4)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)], ["vec_id", "v"]
+    ).select("vec_id", F.col("v").cast("array<double>").alias("v"))
+    corpus = emb.filter(F.col("vec_id") >= 12)
+    queries = emb.filter(F.col("vec_id") < 12)
+    for n_probe in (1, 2):
+        expr_out = {(r.q_id, r.n_id, r.rank)
+                    for r in ivf_knn(corpus, queries, k=5, n_probe=n_probe).collect()}
+        fast_out = {(r.q_id, r.n_id, r.rank)
+                    for r in ivf_knn(corpus, queries, k=5, n_probe=n_probe,
+                                     fast=True).collect()}
+        assert fast_out == expr_out
