@@ -60,6 +60,30 @@ def assign_buckets(embeddings: DataFrame, vec_col: str = "v") -> DataFrame:
     return embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col)))
 
 
+def assign_buckets_fast(
+    embeddings: DataFrame, vec_col: str = "v", n_planes: int = N_PLANES
+) -> DataFrame:
+    """Vectorized form of assign_buckets (same planes, numpy projections)
+    — the volume path; the expression form is interpreted per element
+    (see ivf_knn fast notes) and stays as the oracle kernel."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def bucket_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy())
+        dim = M.shape[1]
+        j = np.arange(n_planes, dtype=np.int64)[:, None]
+        kk = np.arange(dim, dtype=np.int64)[None, :]
+        W = ((j * 2654435761 + kk * 40503) % 1000 - 500).astype(np.float64)
+        signs = (M @ W.T) >= 0  # (n, planes)
+        return pd.Series(
+            ["".join("1" if b else "0" for b in row) for row in signs]
+        )
+
+    return embeddings.withColumn("bucket", bucket_udf(F.col(vec_col)))
+
+
 N_IVF_CELLS = 8
 
 
@@ -108,23 +132,28 @@ def bucketed_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "v",
     threshold: float = 0.95,
+    fast: bool = False,
 ) -> DataFrame:
     """Pairs with cosine >= threshold that collide in an LSH bucket.
-    Output (vec_a, vec_b, cosine)."""
-    b = assign_buckets(embeddings, vec_col)
+    Output (vec_a, vec_b, cosine).  ``fast=True`` uses the numpy kernels
+    for bucket projection and pair cosine (volume path; expression forms
+    remain the oracle kernels)."""
+    assign = assign_buckets_fast if fast else assign_buckets
+    b = assign(embeddings, vec_col)
     left = b.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "bucket"
     )
     right = b.select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "bucket"
     )
+    sim = cosine_fast("va", "vb") if fast else cosine(F.col("va"), F.col("vb"))
     return (
         left.join(right, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(sim, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -530,3 +530,31 @@ def test_ivf_knn_fast_kernel_matches_expression_kernel(spark):
                     for r in ivf_knn(corpus, queries, k=5, n_probe=n_probe,
                                      fast=True).collect()}
         assert fast_out == expr_out
+
+
+def test_lsh_bucket_fast_kernel_matches_expression_kernel(spark):
+    """assign_buckets_fast / bucketed_near_duplicates(fast=True) must agree
+    with the expression kernels — same buckets, same near-dup pairs."""
+    import numpy as np
+
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        assign_buckets,
+        assign_buckets_fast,
+        bucketed_near_duplicates,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = np.round(rng.uniform(-1, 1, (60, 12)), 4)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)], ["vec_id", "v"]
+    ).select("vec_id", F.col("v").cast("array<double>").alias("v"))
+    both = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"), "v")  # planted dups
+    )
+    slow_b = {(r.vec_id, r.bucket) for r in assign_buckets(both).collect()}
+    fast_b = {(r.vec_id, r.bucket) for r in assign_buckets_fast(both).collect()}
+    assert fast_b == slow_b
+    slow_p = {(r.vec_a, r.vec_b) for r in bucketed_near_duplicates(both).collect()}
+    fast_p = {(r.vec_a, r.vec_b)
+              for r in bucketed_near_duplicates(both, fast=True).collect()}
+    assert fast_p == slow_p and len(fast_p) >= 60  # planted copies found
