@@ -19,12 +19,18 @@ from pyspark.sql import functions as F
 
 N_PLANES = 8
 
+# shared integer-grid constants: the EXPRESSION kernels (oracle path) and
+# the numpy kernels (volume path) must derive identical planes/centroids —
+# a retune that misses one twin would silently fork bucket/cell assignment
+PLANE_MULT, PLANE_ADD = 2654435761, 40503
+CENT_MULT, CENT_ADD = 1103515245, 12345
+
 
 def _plane_weight(j: int, k: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-500, 500), integer
     arithmetic only (identical in every engine; no trig/libm involved):
-    w(j, k) = ((j * 2654435761 + k * 40503) % 1000) - 500."""
-    return ((F.lit(j) * F.lit(2654435761) + k * F.lit(40503)) % 1000 - 500).cast(
+    w(j, k) = ((j * PLANE_MULT + k * PLANE_ADD) % 1000) - 500."""
+    return ((F.lit(j) * F.lit(PLANE_MULT) + k * F.lit(PLANE_ADD)) % 1000 - 500).cast(
         "double"
     )
 
@@ -75,7 +81,7 @@ def assign_buckets_fast(
         dim = M.shape[1]
         j = np.arange(n_planes, dtype=np.int64)[:, None]
         kk = np.arange(dim, dtype=np.int64)[None, :]
-        W = ((j * 2654435761 + kk * 40503) % 1000 - 500).astype(np.float64)
+        W = ((j * PLANE_MULT + kk * PLANE_ADD) % 1000 - 500).astype(np.float64)
         signs = (M @ W.T) >= 0  # (n, planes)
         return pd.Series(
             ["".join("1" if b else "0" for b in row) for row in signs]
@@ -91,7 +97,7 @@ def _centroid_weight(j: int, k: Column) -> Column:
     """Deterministic centroid component in [-0.5, 0.5): integer-derived like
     the hyperplanes, scaled to embedding magnitude."""
     return (
-        ((F.lit(j).cast("long") * F.lit(1103515245) + k.cast("long") * F.lit(12345)) % 1000 - 500).cast("double")
+        ((F.lit(j).cast("long") * F.lit(CENT_MULT) + k.cast("long") * F.lit(CENT_ADD)) % 1000 - 500).cast("double")
         / 1000.0
     )
 
@@ -140,6 +146,17 @@ def bucketed_near_duplicates(
     remain the oracle kernels)."""
     assign = assign_buckets_fast if fast else assign_buckets
     b = assign(embeddings, vec_col)
+    if fast:
+        # the self-join references b twice; without a cache boundary the
+        # bucket UDF would project every vector against all planes TWICE
+        # (the lsh_candidate_pairs 16x-recompute pitfall).  Pair scoring
+        # stays per-pair (cosine_fast): within-bucket pair counts are the
+        # recall knob's own output and hot buckets split via AQE skew-join;
+        # a per-bucket matmul variant would ship vectors once per side but
+        # cannot salt (pairs must cross shard boundaries within a bucket).
+        from pyspark import StorageLevel
+
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
     left = b.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "bucket"
     )
@@ -170,7 +187,7 @@ def _init_centroids(n_cells: int, dim: int) -> list[list[float]]:
     """Quantized-scale init = _centroid_weight * SCALE: integer*1000 ->
     exact doubles, identical in every engine."""
     return [
-        [float(((j * 1103515245 + k * 12345) % 1000 - 500) * 1000.0)
+        [float(((j * CENT_MULT + k * CENT_ADD) % 1000 - 500) * 1000.0)
          for k in range(dim)]
         for j in range(n_cells)
     ]
@@ -283,14 +300,12 @@ def _centroid_grid(n_cells: int, dim: int):
 
     j = np.arange(n_cells, dtype=np.int64)[:, None]
     kk = np.arange(dim, dtype=np.int64)[None, :]
-    return (((j * 1103515245 + kk * 12345) % 1000 - 500) / 1000.0)
+    return (((j * CENT_MULT + kk * CENT_ADD) % 1000 - 500) / 1000.0)
 
 
 def _cells_matrix(M, n_cells: int):
     """(n, p) squared L2 distances of rows of M to the deterministic grid
     via the expanded form (no (n, p, dim) intermediate)."""
-    import numpy as np
-
     C = _centroid_grid(n_cells, M.shape[1])
     return (
         (M * M).sum(axis=1)[:, None]
@@ -386,7 +401,7 @@ def ivf_knn(
             F.col(vec_col).alias("qv"),
             F.explode(probe(F.col(vec_col))).alias("cell"),
         )
-        scored = _cogroup_topk(c, q, k)
+        scored = _cogroup_topk(c, q, k, id_type=corpus.schema[id_col].dataType)
     else:
         c = corpus.select(
             F.col(id_col).alias("n_id"),
@@ -412,11 +427,31 @@ def ivf_knn(
     )
 
 
-def _cogroup_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+def _cogroup_topk(
+    c: DataFrame, q: DataFrame, k: int, id_type=None, n_salts: int = 16
+) -> DataFrame:
     """Per-cell grouped scoring: cogroup the corpus and query blocks of a
     cell, one normalized matmul, per-query per-cell top-k out.  The global
-    window in ivf_knn then merges the <= n_probe cell candidate sets."""
+    window in ivf_knn then merges the <= n_probe x n_salts candidate sets.
+
+    Each cell is SUB-SPLIT into ``n_salts`` deterministic corpus shards
+    (queries replicate to every shard): with only N_IVF_CELLS cells a plain
+    cogroup caps parallelism at 8 tasks and must hold 1/8 of the corpus in
+    one pandas block — salting gives n_cells x n_salts tasks and bounds
+    each block at |corpus| / (n_cells x n_salts).  Per-shard top-k keeps
+    (sim desc, n_id asc) order so the merged window result is identical to
+    the expression kernel's tie-break (argpartition alone would break
+    sim-ties arbitrarily and drop the candidate the oracle path ranks)."""
     import numpy as np
+
+    id_sql = (id_type.simpleString() if id_type is not None else "bigint")
+    c = c.withColumn("salt", F.pmod(F.xxhash64("n_id"), F.lit(n_salts)))
+    q = q.join(
+        F.broadcast(
+            q.sparkSession.range(n_salts).select(F.col("id").alias("salt"))
+        ),
+        how="cross",
+    )
 
     def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
         if len(cdf) == 0 or len(qdf) == 0:
@@ -426,20 +461,20 @@ def _cogroup_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         S = Mn @ Qn.T  # (n_corpus, n_queries)
-        kk = min(k, S.shape[0])
-        top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, n_queries)
         q_ids = qdf["q_id"].to_numpy()
         n_ids = cdf["n_id"].to_numpy()
+        kk = min(k, S.shape[0])
         out_q, out_n, out_s = [], [], []
         for qi in range(S.shape[1]):
-            sel = top[:, qi]
-            out_q.extend([q_ids[qi]] * len(sel))
-            out_n.extend(n_ids[sel])
-            out_s.extend(S[sel, qi])
+            # (sim desc, n_id asc): lexsort's LAST key is primary
+            order = np.lexsort((n_ids, -S[:, qi]))[:kk]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(n_ids[order])
+            out_s.extend(S[order, qi])
         return pd.DataFrame({"q_id": out_q, "n_id": out_n, "sim": out_s})
 
     return (
-        c.groupBy("cell")
-        .cogroup(q.groupBy("cell"))
-        .applyInPandas(score, "q_id long, n_id long, sim double")
+        c.groupBy("cell", "salt")
+        .cogroup(q.groupBy("cell", "salt"))
+        .applyInPandas(score, f"q_id {id_sql}, n_id {id_sql}, sim double")
     )
