@@ -238,6 +238,13 @@ class Qwen3VlOcrOptions(StageOptions):
     do_sample: bool = False
     timeout_s: float | None = None
     page_scale: float = 2.0
+    # T12 switch: route the JSON-emitting page kinds (layout/table) through
+    # the per-value jsonformer walk (guaranteed-valid, one model call per
+    # scalar) instead of single-shot generation + repair cascade.  The
+    # reference never flips this (both live callers use single-shot,
+    # layout_model.py:164-171, table_structure_model.py:117-124); it exists
+    # so a GPU deployment can choose validity over speed per job.
+    force_valid_json: bool = False
 
     def __post_init__(self) -> None:
         super().__post_init__()

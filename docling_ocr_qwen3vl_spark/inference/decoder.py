@@ -254,6 +254,7 @@ class TorchQwenDecoder:
         model, processor = self._ensure_loaded()
         results: list = [None] * len(pages)
         ocr_mode = getattr(self.options, "prompt_mode", "qwenvl_html")
+        force_valid = bool(getattr(self.options, "force_valid_json", False))
 
         def effective(payload_kind: str) -> tuple:
             """(prompt_mode, parse_kind, json_root) a page actually runs
@@ -292,15 +293,46 @@ class TorchQwenDecoder:
                     p.convert("RGB") if hasattr(p, "convert") else p
                     for p in (pages[i][1] for i in chunk)
                 ]
-                texts = run_vlm_inference_batch(
-                    model, processor, torch, images, prompt_mode, prompt,
-                    self.options, json_root=json_root,
-                )
+                if json_root is not None and force_valid:
+                    # T12: per-value guaranteed-valid walk — inherently one
+                    # model call per scalar, so pages run one at a time (the
+                    # deliberate validity-over-speed trade; micro-batch
+                    # grouping still bounds images held per chunk)
+                    texts = [
+                        self._decode_jsonformer(
+                            model, processor, torch, image, parse_kind, prompt
+                        )
+                        for image in images
+                    ]
+                else:
+                    texts = run_vlm_inference_batch(
+                        model, processor, torch, images, prompt_mode, prompt,
+                        self.options, json_root=json_root,
+                    )
                 for i, out_text in zip(chunk, texts):
                     results[i] = parse(parse_kind, out_text)
                 if torch.cuda.is_available():  # M6: per-chunk cache release
                     torch.cuda.empty_cache()
         return results
+
+    def _decode_jsonformer(
+        self, model, processor, torch_mod, image, payload_kind: str, prompt: str
+    ) -> str:
+        """One page through the T12 walk; returns serialized JSON so the
+        result flows through the SAME structural parse as every other
+        path (parse -> build_clusters/build_table)."""
+        import json as _json
+
+        from .jsonformer import JSONFORMER_SCHEMAS, JsonformerWalk, TorchTokenBackend
+
+        backend = TorchTokenBackend(model, processor, torch_mod, image)
+        walk = JsonformerWalk(
+            backend,
+            JSONFORMER_SCHEMAS[payload_kind],
+            prompt,
+            max_array_length=getattr(self.options, "max_array_length", 20),
+        )
+        return _json.dumps(walk())
 
 
 def get_decoder(

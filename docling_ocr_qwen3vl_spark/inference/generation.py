@@ -172,6 +172,17 @@ def run_vlm_inference_batch(
         if json_root is not None:
             text_input = inject_assistant_prefix(text_input, json_root)
         text_inputs.append(text_input)
+    # Micro-batches are RAGGED (vision-token counts vary per image), and the
+    # reference only ever runs batch-of-one (qwen_runner.py:108-113) so it
+    # never hit this: Qwen tokenizers default to RIGHT padding, which for a
+    # decoder-only generate() puts pad tokens BETWEEN a shorter prompt and
+    # its continuation, corrupting every row shorter than the longest in the
+    # chunk.  Left padding (the documented Qwen batch-inference setting)
+    # keeps all prompts flush with the generation boundary; the common
+    # input_len slice below is then correct for every row.
+    tokenizer = getattr(processor, "tokenizer", None)
+    if tokenizer is not None and hasattr(tokenizer, "padding_side"):
+        tokenizer.padding_side = "left"
     inputs = processor(
         text=text_inputs, images=list(images), padding=True, return_tensors="pt"
     )

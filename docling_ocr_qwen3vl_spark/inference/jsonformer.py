@@ -10,20 +10,22 @@ here too; it exists so a GPU deployment can flip to guaranteed-valid
 generation per cluster/table without engine changes.
 
 Spark-first design difference: the model interaction is abstracted behind a
-two-method ``TokenBackend`` (greedy continuation + top-k next-token
-candidates), so the ENTIRE walk — progress-prefix building, value parsing,
-array-continue decisions, the recursive schema traversal — is pure Python,
-unit-tested with scripted backends, and identical on a GPU deployment
-(where the backend wraps processor/model exactly like
-``generation.run_vlm_inference`` does for the single-shot path).
+three-method ``TokenBackend`` (greedy continuation + top-k next-token
+candidates + a two-literal relative-likelihood probe), so the ENTIRE walk —
+progress-prefix building, value parsing, array-continue decisions, the
+recursive schema traversal — is pure Python, unit-tested with scripted
+backends, and identical on a GPU deployment (``TorchTokenBackend`` below
+wraps processor/model exactly like ``generation.run_vlm_inference`` does
+for the single-shot path).
 
 Reference semantics replicated (cited per method):
   * progress prefix = json.dumps of the partial root truncated at the
     generation marker (_vlm_jsonformer.py:295-303)
   * number: strip + rstrip(".,}"), leading-sign/digit/dot scan, int when
     integral, 0 on garbage (_vlm_jsonformer.py:305-336)
-  * boolean: true-vs-false next-token preference with a 3-token greedy
-    fallback (_vlm_jsonformer.py:338-365)
+  * boolean: logit comparison of the exact 'true'/'false' token ids when
+    both resolve, 3-token greedy fallback otherwise
+    (_vlm_jsonformer.py:338-365)
   * string: opening quote injected, cut at the first quote
     (_vlm_jsonformer.py:367-388)
   * array-continue: scan the top-30 candidate tokens for ',' vs ']'
@@ -42,7 +44,7 @@ GENERATION_MARKER = "|GENERATION|"
 
 
 class TokenBackend(Protocol):
-    """The two model touchpoints the walk needs.
+    """The three model touchpoints the walk needs.
 
     ``user_text`` is the full task text (prompt + schema); the backend owns
     chat templating, tensors, devices.  ``assistant_prefix`` is the partial
@@ -57,6 +59,17 @@ class TokenBackend(Protocol):
 
     def top_tokens(self, user_text: str, assistant_prefix: str, k: int) -> list[str]:
         """Decoded top-k next-token candidates, most likely first."""
+        ...
+
+    def prefer_literal(
+        self, user_text: str, assistant_prefix: str, a: str, b: str
+    ) -> bool | None:
+        """True if the next-token logit of literal token ``a`` beats ``b``,
+        False otherwise; None when either literal does not resolve to a
+        single vocab token (the caller then falls back to greedy decoding).
+        Mirrors the reference's generate_boolean primary branch
+        (_vlm_jsonformer.py:345-354: one forward pass, compare
+        ``logits[true_id] > logits[false_id]``)."""
         ...
 
 
@@ -124,16 +137,16 @@ class JsonformerWalk:
         return parse_generated_number(text)
 
     def _gen_boolean(self) -> bool:
-        """Prefer whichever of true/false the model ranks higher among the
-        next-token candidates; greedy 3-token fallback when neither shows
-        (the reference's convert_tokens_to_ids-failure branch)."""
+        """Primary branch = relative next-token likelihood of the exact
+        'true' vs 'false' literals (_vlm_jsonformer.py:345-354: one forward
+        pass, ``logits[true_id] > logits[false_id]``); greedy 3-token
+        fallback only when a literal fails to resolve to a vocab token
+        (the reference's convert_tokens_to_ids-failure branch,
+        _vlm_jsonformer.py:356-365)."""
         prefix = self._progress()
-        for tok in self.backend.top_tokens(self.user_text, prefix, 30):
-            lowered = tok.strip().lower()
-            if lowered.startswith("true"):
-                return True
-            if lowered.startswith("false"):
-                return False
+        verdict = self.backend.prefer_literal(self.user_text, prefix, "true", "false")
+        if verdict is not None:
+            return verdict
         text = self.backend.continue_text(self.user_text, prefix, 3)
         return text.strip().lower().startswith("true")
 
@@ -213,3 +226,137 @@ class JsonformerWalk:
         raise ValueError(
             f"Root schema type must be 'object' or 'array', got '{root_type}'"
         )
+
+
+# ---------------------------------------------------------------------------
+# Default schemas for the two JSON-emitting page kinds.  Field vocabulary =
+# what the structural parsers consume: build_clusters reads label /
+# confidence / x1..y2 (layout_model.py:184-232), build_table reads rows /
+# cols / cells[{row,col,rs,cs,hdr,x1..y2,text}] (table_structure_model.py:
+# 135-225, compact field names).  A deployment can override per stage.
+# ---------------------------------------------------------------------------
+
+LAYOUT_JSON_SCHEMA: dict[str, Any] = {
+    "type": "array",
+    "items": {
+        "type": "object",
+        "properties": {
+            "label": {"type": "string"},
+            "x1": {"type": "number"},
+            "y1": {"type": "number"},
+            "x2": {"type": "number"},
+            "y2": {"type": "number"},
+            "confidence": {"type": "number"},
+        },
+    },
+}
+
+TABLE_JSON_SCHEMA: dict[str, Any] = {
+    "type": "object",
+    "properties": {
+        "rows": {"type": "number"},
+        "cols": {"type": "number"},
+        "cells": {
+            "type": "array",
+            "items": {
+                "type": "object",
+                "properties": {
+                    "row": {"type": "number"},
+                    "col": {"type": "number"},
+                    "rs": {"type": "number"},
+                    "cs": {"type": "number"},
+                    "hdr": {"type": "boolean"},
+                    "x1": {"type": "number"},
+                    "y1": {"type": "number"},
+                    "x2": {"type": "number"},
+                    "y2": {"type": "number"},
+                    "text": {"type": "string"},
+                },
+            },
+        },
+    },
+}
+
+JSONFORMER_SCHEMAS: dict[str, dict[str, Any]] = {
+    "layout_json": LAYOUT_JSON_SCHEMA,
+    "table_json": TABLE_JSON_SCHEMA,
+}
+
+
+class TorchTokenBackend:
+    """GPU-deployment ``TokenBackend`` over (model, processor, torch, image).
+
+    Performs exactly the tensor calls the reference VLMJsonformer performs —
+    _prepare_inputs chat templating + assistant-prefix append
+    (_vlm_jsonformer.py:263-301), greedy ``generate`` for continuations
+    (:305-321, 367-388), one ``forward`` + ``topk(k)`` re-sorted by logit
+    for candidate scans (:390-411), and one ``forward`` + two-id logit
+    compare for the boolean probe (:345-354) — but behind the walk's pure
+    protocol, so the traversal logic above never touches a tensor.  Like
+    ``TorchQwenDecoder`` this class is deployment-only (torch injected);
+    control flow is pinned under mocks in tests/test_torch_decoder.py.
+    """
+
+    def __init__(self, model, processor, torch_mod, image):
+        self.model = model
+        self.processor = processor
+        self.torch = torch_mod
+        self.image = image
+
+    def _inputs(self, user_text: str, assistant_prefix: str):
+        messages = [
+            {
+                "role": "user",
+                "content": [
+                    {"type": "image", "image": self.image},
+                    {"type": "text", "text": user_text},
+                ],
+            }
+        ]
+        text_input = self.processor.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+        text_input += assistant_prefix
+        inputs = self.processor(
+            text=[text_input], images=[self.image], padding=True,
+            return_tensors="pt",
+        )
+        return inputs.to(self.model.device)
+
+    def _next_logits(self, user_text: str, assistant_prefix: str):
+        inputs = self._inputs(user_text, assistant_prefix)
+        with self.torch.no_grad():
+            output = self.model.forward(**inputs)
+        return output.logits[0, -1]
+
+    def continue_text(
+        self, user_text: str, assistant_prefix: str, max_new_tokens: int
+    ) -> str:
+        inputs = self._inputs(user_text, assistant_prefix)
+        with self.torch.no_grad():
+            response = self.model.generate(
+                **inputs,
+                max_new_tokens=max_new_tokens,
+                do_sample=False,
+                pad_token_id=self.processor.tokenizer.eos_token_id,
+            )
+        input_len = inputs["input_ids"].shape[1]
+        return self.processor.tokenizer.decode(
+            response[0, input_len:], skip_special_tokens=True
+        )
+
+    def top_tokens(self, user_text: str, assistant_prefix: str, k: int) -> list[str]:
+        logits = self._next_logits(user_text, assistant_prefix)
+        top_ids = logits.topk(k).indices
+        sorted_ids = top_ids[logits[top_ids].argsort(descending=True)]
+        return [self.processor.tokenizer.decode(tid) for tid in sorted_ids]
+
+    def prefer_literal(
+        self, user_text: str, assistant_prefix: str, a: str, b: str
+    ) -> bool | None:
+        a_id = self.processor.tokenizer.convert_tokens_to_ids(a)
+        b_id = self.processor.tokenizer.convert_tokens_to_ids(b)
+        if not (isinstance(a_id, int) and isinstance(b_id, int)):
+            return None
+        logits = self._next_logits(user_text, assistant_prefix)
+        return bool(logits[a_id] > logits[b_id])

@@ -20,14 +20,16 @@ from docling_ocr_qwen3vl_spark.inference.jsonformer import (
 
 
 class ScriptedBackend:
-    """Returns scripted continuations/candidates in call order while
-    recording every assistant prefix it was asked to continue."""
+    """Returns scripted continuations/candidates/boolean verdicts in call
+    order while recording every assistant prefix it was asked about."""
 
-    def __init__(self, continuations=(), candidate_lists=()):
+    def __init__(self, continuations=(), candidate_lists=(), bool_verdicts=()):
         self.continuations = list(continuations)
         self.candidate_lists = list(candidate_lists)
+        self.bool_verdicts = list(bool_verdicts)
         self.prefixes: list[str] = []
         self.probe_prefixes: list[str] = []
+        self.bool_prefixes: list[str] = []
 
     def continue_text(self, user_text, assistant_prefix, max_new_tokens):
         self.prefixes.append(assistant_prefix)
@@ -36,6 +38,12 @@ class ScriptedBackend:
     def top_tokens(self, user_text, assistant_prefix, k):
         self.probe_prefixes.append(assistant_prefix)
         return self.candidate_lists.pop(0)
+
+    def prefer_literal(self, user_text, assistant_prefix, a, b):
+        # scripted logit-compare verdict; None = the reference's
+        # convert_tokens_to_ids-failure branch (greedy fallback)
+        self.bool_prefixes.append(assistant_prefix)
+        return self.bool_verdicts.pop(0)
 
 
 # ------------------------------------------------------------- scalar parse
@@ -73,14 +81,14 @@ def test_object_walk_scalars_and_prefixes():
     }
     backend = ScriptedBackend(
         continuations=["3, ", 'Quarterly" ...'],
-        candidate_lists=[[" false", " true"]],
+        bool_verdicts=[False],  # logits['true'] <= logits['false']
     )
     result = JsonformerWalk(backend, schema, "extract the table")()
     assert result == {"rows": 3, "title": "Quarterly", "hdr": False}
     # progress prefixes are exactly the serialized partial JSON up to the
     # value being generated (string gets its opening quote injected)
     assert backend.prefixes == ['{"rows": ', '{"rows": 3, "title": "']
-    assert backend.probe_prefixes == ['{"rows": 3, "title": "Quarterly", "hdr": ']
+    assert backend.bool_prefixes == ['{"rows": 3, "title": "Quarterly", "hdr": ']
 
 
 def test_schema_embedded_in_user_text():
@@ -129,13 +137,23 @@ def test_array_caps_at_max_length():
     assert result == [1, 2, 3]
 
 
-def test_boolean_fallback_when_no_candidate_matches():
+def test_boolean_logit_probe_primary_branch():
+    schema = {"type": "object", "properties": {"ok": {"type": "boolean"}}}
+    backend = ScriptedBackend(bool_verdicts=[True])
+    assert JsonformerWalk(backend, schema, "p")() == {"ok": True}
+    # the primary branch never touches greedy generation
+    assert backend.prefixes == []
+
+
+def test_boolean_greedy_fallback_when_literals_unresolvable():
+    """None from prefer_literal = convert_tokens_to_ids failed -> the
+    reference's 3-token greedy fallback (_vlm_jsonformer.py:356-365)."""
     schema = {"type": "object", "properties": {"ok": {"type": "boolean"}}}
     backend = ScriptedBackend(
-        continuations=["True enough"],
-        candidate_lists=[["{", "[", "x"]],  # neither true nor false visible
+        continuations=["True enough"], bool_verdicts=[None]
     )
     assert JsonformerWalk(backend, schema, "p")() == {"ok": True}
+    assert backend.prefixes == ['{"ok": ']
 
 
 def test_nested_object_in_array_in_object():

@@ -223,6 +223,14 @@ class BridgeBackend:
         _, ranking = self.brain.lookup(assistant_prefix)
         return list(ranking)[:k]
 
+    def prefer_literal(self, user_text, assistant_prefix, a, b):
+        # mirrors RefLogits exactly: score = len(ranking)-i for ranked
+        # tokens, 0.0 default, strict > compare (never None — the char
+        # vocab resolves every literal, like the reference's primary branch)
+        _, ranking = self.brain.lookup(assistant_prefix)
+        scores = {tok: float(len(ranking) - i) for i, tok in enumerate(ranking)}
+        return scores.get(a, 0.0) > scores.get(b, 0.0)
+
 
 def run_both(ref_mod, schema, script, prompt="extract"):
     from docling_ocr_qwen3vl_spark.inference.jsonformer import JsonformerWalk
@@ -286,4 +294,29 @@ def test_differential_number_garbage_and_float(ref_mod):
     }
     ref_out, mine_out, ref_pref, mine_pref = run_both(ref_mod, schema, script)
     assert ref_out == mine_out == {"a": 0, "b": 12.5}
+    assert ref_pref == mine_pref
+
+
+def test_differential_boolean_unranked_literals(ref_mod):
+    """The round-3 divergence case: 'true'/'false' both resolve to vocab
+    ids but NEITHER appears in the next-token ranking — the reference's
+    primary branch compares two 0.0 logits (strict > -> False) without
+    ever generating; the walk must do the same, not scan top-30 or fall
+    back to greedy."""
+    schema = {"type": "object", "properties": {"hdr": {"type": "boolean"}}}
+    script = {
+        '{"hdr": ': ("", ["{", "[", "x"]),  # no true/false anywhere
+    }
+    ref_out, mine_out, ref_pref, mine_pref = run_both(ref_mod, schema, script)
+    assert ref_out == mine_out == {"hdr": False}
+    assert ref_pref == mine_pref
+
+
+def test_differential_boolean_one_ranked_literal(ref_mod):
+    schema = {"type": "object", "properties": {"hdr": {"type": "boolean"}}}
+    script = {
+        '{"hdr": ': ("", ["x", "true"]),  # only 'true' ranked -> beats 0.0
+    }
+    ref_out, mine_out, ref_pref, mine_pref = run_both(ref_mod, schema, script)
+    assert ref_out == mine_out == {"hdr": True}
     assert ref_pref == mine_pref

@@ -318,3 +318,178 @@ def test_model_loaded_once_per_worker(decoder_env):
     dec.decode_page("plain_text", object())
     assert registry.registry_size() == before + 1
     assert dec._shared[0] is model
+
+
+# -------------------------------------------- T12 force_valid_json wiring
+
+class JfIdVec:
+    def __init__(self, ids):
+        self.ids = list(ids)
+
+    def __getitem__(self, order):
+        if isinstance(order, JfIdVec):
+            return JfIdVec([self.ids[i] for i in order.ids])
+        return self.ids[order]
+
+    def __iter__(self):
+        return iter(self.ids)
+
+
+class JfScoreVec:
+    def __init__(self, scores):
+        self.scores = scores
+
+    def argsort(self, descending=False):
+        order = sorted(range(len(self.scores)),
+                       key=lambda i: self.scores[i], reverse=descending)
+        return JfIdVec(order)
+
+
+class JfLogits:
+    """Supports exactly the tensor ops TorchTokenBackend performs on
+    logits[0, -1]: topk(k).indices, fancy-index scoring, scalar lookup."""
+
+    def __init__(self, ranked_ids):
+        self.scores = {t: float(len(ranked_ids) - i)
+                       for i, t in enumerate(ranked_ids)}
+        self.ranked = list(ranked_ids)
+
+    def topk(self, k):
+        return types.SimpleNamespace(indices=JfIdVec(self.ranked[:k]))
+
+    def __getitem__(self, idx):
+        if isinstance(idx, JfIdVec):
+            return JfScoreVec([self.scores.get(i, 0.0) for i in idx.ids])
+        return self.scores.get(idx, 0.0)
+
+
+class JfLogits2D:
+    def __init__(self, logits):
+        self.logits = logits
+
+    def __getitem__(self, idx):  # logits[0, -1]
+        return self.logits
+
+
+class JfTokenizer:
+    """Queue-decoding tokenizer: generate() continuations come off a
+    scripted queue; single-id decodes map through a tiny vocab."""
+
+    eos_token_id = 7
+
+    def __init__(self, continuations, vocab):
+        self.continuations = list(continuations)
+        self.vocab = dict(vocab)
+        self.padding_side = "right"
+
+    def convert_tokens_to_ids(self, tok):
+        return {"true": 101, "false": 102}.get(tok, 103)
+
+    def decode(self, ids, skip_special_tokens=False):
+        if isinstance(ids, int):
+            return self.vocab[ids]
+        return self.continuations.pop(0)
+
+
+def test_force_valid_json_routes_layout_through_jsonformer(decoder_env):
+    """T12 as a decode regime: force_valid_json=True sends layout_json
+    through the per-value JsonformerWalk over a TorchTokenBackend — one
+    greedy generate per scalar, one forward for the array-continue probe,
+    NO single-shot generate — and the serialized result flows through the
+    same structural parse (picture label -> media span)."""
+    dec, model, processor = decoder_env
+    dec.options.force_valid_json = True
+
+    # layout schema walk: 2 elements (the >=2 quirk) x 6 scalars each
+    continuations = ['picture"', "1", "2", "30", "40", "0.9",
+                     'text"', "5", "6", "7", "8", "0.8"]
+    processor.tokenizer = JfTokenizer(continuations, vocab={201: "]"})
+    probe_rankings = [[201]]  # after elem 2: ']' ranked first -> stop
+
+    gen_log = []
+
+    def jf_generate(**kw):
+        gen_log.append(kw)
+
+        class Resp:
+            def __getitem__(self, idx):  # response[0, input_len:]
+                return [9, 9]
+
+        return Resp()
+
+    def jf_forward(**inputs):
+        return types.SimpleNamespace(
+            logits=JfLogits2D(JfLogits(probe_rankings.pop(0)))
+        )
+
+    model.generate = jf_generate
+    model.forward = jf_forward
+
+    out = dec.decode_page("layout_json", object())
+
+    # one greedy generate per scalar, all with the reference kwargs
+    assert len(gen_log) == 12
+    assert all(kw["do_sample"] is False for kw in gen_log)
+    assert all(kw["pad_token_id"] == 7 for kw in gen_log)
+    assert not probe_rankings  # the continue probe ran exactly once
+    # first scalar's assistant prefix = progress + injected opening quote
+    # (string generation, _vlm_jsonformer.py:367-373)
+    process_texts = [c[1][0] for c in processor.calls if c[0] == "process"]
+    assert any(t.endswith('[{"label": "') for t in process_texts)
+    # picture element -> one media span at its layout (t, l); the text
+    # element emits nothing (same _decode_layout parse as single-shot)
+    assert out == [(0, "media_ref", "", 2, 1)]
+
+
+def test_force_valid_json_boolean_probe_uses_logit_compare(decoder_env):
+    """table_json + force_valid_json: the 'hdr' boolean resolves via ONE
+    forward pass comparing the exact true/false token logits
+    (_vlm_jsonformer.py:345-354), never a greedy generate."""
+    dec, model, processor = decoder_env
+    dec.options.force_valid_json = True
+
+    # table schema: rows, cols, then cells array (2 elements x 10 scalars,
+    # hdr handled by the probe) then the continue probe
+    cell_scalars = ["0", "0", "1", "1", "1", "2", "30", "40", 'x"']
+    continuations = ["2", "3"] + cell_scalars + cell_scalars
+    processor.tokenizer = JfTokenizer(continuations, vocab={201: "]"})
+    # forwards: hdr probe (elem1), hdr probe (elem2), continue probe
+    forward_logits = [
+        JfLogits([101]),        # true beats false -> hdr: true
+        JfLogits([102, 101]),   # false ranked above true -> hdr: false
+        JfLogits([201]),        # ']' -> stop array
+    ]
+
+    def jf_generate(**kw):
+        class Resp:
+            def __getitem__(self, idx):
+                return [9]
+
+        return Resp()
+
+    def jf_forward(**inputs):
+        return types.SimpleNamespace(logits=JfLogits2D(forward_logits.pop(0)))
+
+    model.generate = jf_generate
+    model.forward = jf_forward
+
+    out = dec.decode_page("table_json", object())
+    assert not forward_logits  # exactly 3 forward passes
+    # rows=2/cols=3 -> a real table -> one media span
+    assert out == [(0, "media_ref", "", 0, 0)]
+
+
+def test_batched_generate_sets_left_padding(decoder_env):
+    """Ragged micro-batches need LEFT padding (Qwen batch-inference
+    setting): right padding would insert pad tokens between a shorter
+    prompt and its continuation.  run_vlm_inference_batch must flip the
+    tokenizer before the batched processor call."""
+    dec, model, processor = decoder_env
+    processor.tokenizer = JfTokenizer([], vocab={})
+    assert processor.tokenizer.padding_side == "right"
+    model.output_ids = [7]
+    processor.decode_result = "para"
+
+    dec.decode_batch([("plain_text", object()), ("plain_text", object())])
+
+    assert processor.tokenizer.padding_side == "left"
