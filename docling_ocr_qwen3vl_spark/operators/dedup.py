@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.text_fns import words
+from .caching import register_cache, release_caches, scoped_caches
 
 N_MINHASHES = 8
 SHINGLE_WIDTH = 3
@@ -231,19 +232,12 @@ def minhash_signature_fast(
     return out.withColumns(cols).drop("_sig")
 
 
-_LIVE_SIGNATURE_CACHES: list[DataFrame] = []
-
-
-def release_signature_caches() -> None:
-    """Unpersist every signature projection cached by lsh_candidate_pairs.
-
-    Call once downstream results are MATERIALIZED (checkpointed/written) —
-    unpersist is always safe (a still-referenced plan recomputes), but
-    releasing too early forfeits the single-computation guarantee.  Pipeline
-    operators that materialize internally (near_duplicate_components, the
-    bench sweep) call this themselves; ad-hoc callers own the lifecycle."""
-    while _LIVE_SIGNATURE_CACHES:
-        _LIVE_SIGNATURE_CACHES.pop().unpersist(blocking=False)
+# Signature-projection caches live in the shared operator registry
+# (operators/caching.py); release once downstream results are MATERIALIZED
+# (checkpointed/written) — pipeline operators that materialize internally
+# (near_duplicate_components, the registered dedup queries, the bench
+# sweep) scope-release themselves; ad-hoc callers own the lifecycle.
+release_signature_caches = release_caches
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -266,12 +260,13 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     bands = [c for c in signatures.columns if re.fullmatch(r"band\d+", c)]
     if not bands:
         raise ValueError("signature table has no bandN columns")
-    keyed = signatures.select(id_col, *bands).persist(StorageLevel.MEMORY_AND_DISK)
     # registered so finished pipelines can release it (a plan can reference
     # this function's output more than once — e.g. the two-kernel union —
     # so eager unpersist-previous here would reintroduce the recompute);
-    # see release_signature_caches
-    _LIVE_SIGNATURE_CACHES.append(keyed)
+    # see operators/caching.py
+    keyed = register_cache(
+        signatures.select(id_col, *bands).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = None
     for band in bands:
         left = keyed.select(F.col(id_col).alias("doc_a"), F.col(band).alias("bk"))
@@ -451,17 +446,14 @@ def near_duplicate_components(
     sigs = minhash_signature_fast(
         docs, text_col=text_col, k=cfg.minhash_k, n_bands=cfg.minhash_bands
     )
-    mark = len(_LIVE_SIGNATURE_CACHES)
-    pairs = lsh_candidate_pairs(sigs, id_col=id_col)
-    comps = dup_components(
-        docs.select(id_col), pairs, id_col=id_col, stats_out=stats_out
-    )
-    # dup_components eagerly checkpointed the edge set, so THIS call's
-    # signature cache is fully consumed — release it (only ours: earlier
-    # registry entries may belong to plans that have not executed yet)
-    for df in _LIVE_SIGNATURE_CACHES[mark:]:
-        df.unpersist(blocking=False)
-    del _LIVE_SIGNATURE_CACHES[mark:]
+    # dup_components eagerly checkpoints the edge set, so THIS call's
+    # signature cache is fully consumed inside the scope (only ours:
+    # earlier registry entries may belong to plans not yet executed)
+    with scoped_caches():
+        pairs = lsh_candidate_pairs(sigs, id_col=id_col)
+        comps = dup_components(
+            docs.select(id_col), pairs, id_col=id_col, stats_out=stats_out
+        )
     return comps
 
 

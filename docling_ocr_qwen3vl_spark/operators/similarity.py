@@ -154,9 +154,15 @@ def bucketed_near_duplicates(
         # recall knob's own output and hot buckets split via AQE skew-join;
         # a per-bucket matmul variant would ship vectors once per side but
         # cannot salt (pairs must cross shard boundaries within a bucket).
+        # Registered in the shared cache registry so repeated fast-path
+        # invocations (a bench sweep loop) don't accumulate blocks for the
+        # session lifetime — callers release once the pairs materialize
+        # (scoped_caches() / release_caches(), operators/caching.py).
         from pyspark import StorageLevel
 
-        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        from .caching import register_cache
+
+        b = register_cache(b.persist(StorageLevel.MEMORY_AND_DISK))
     left = b.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "bucket"
     )
