@@ -234,8 +234,12 @@ def kmeans_refined_cells(
     (floor(v*1e6)), so per-cell sums are EXACT bigints regardless of
     partition order; each refined centroid component is one double division
     sum/count (exact while |sum| < 2^53 — holds to ~10^9 vectors at unit
-    scale, noted for larger corpora); distances fold dims left-to-right.
-    Every float op is therefore order-pinned and reproducible bit-for-bit.
+    scale); distances fold dims left-to-right.  Every float op is therefore
+    order-pinned and reproducible bit-for-bit.  The 2^53 precondition is
+    ENFORCED, not prose: every collected per-cell sum is checked on the
+    driver each iteration (n_cells x dim scalars — control-plane cost) and
+    an over-bound corpus raises ArithmeticError instead of silently
+    degrading the bit-reproducibility claim.
 
     Plan shape per iteration: one codegen'd argmin projection + one
     partial-agg groupBy on ``cell`` (n_cells rows out) + a driver collect
@@ -253,9 +257,26 @@ def kmeans_refined_cells(
         stats = lloyd_iteration_plan(base, centroids, dim).collect()
         refined = [list(c) for c in centroids]  # empty cells keep their centroid
         for row in stats:
+            _check_exact_sum_bound(row, dim)
             refined[row["cell"]] = [row[f"s{k}"] / row["cnt"] for k in range(dim)]
         centroids = refined
     return base.withColumn("cell", _argmin_cell(centroids)).select("vec_id", "cell")
+
+
+# a bigint-to-double conversion is exact only below 2^53; past it the
+# refined centroids (and therefore the oracle claim) silently drift
+_KMEANS_EXACT_SUM_BOUND = 1 << 53
+
+
+def _check_exact_sum_bound(row, dim: int) -> None:
+    worst = max(abs(row[f"s{k}"]) for k in range(dim))
+    if worst >= _KMEANS_EXACT_SUM_BOUND:
+        raise ArithmeticError(
+            f"kmeans_refined_cells: per-cell quantized sum |{worst}| >= 2^53 "
+            f"in cell {row['cell']} ({row['cnt']} vectors) — centroid division "
+            "is no longer bit-exact across engines. Reduce KMEANS_SCALE, "
+            "normalize the vectors, or split the corpus across more cells."
+        )
 
 
 def lloyd_iteration_plan(

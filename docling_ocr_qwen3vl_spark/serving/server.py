@@ -7,7 +7,9 @@ The reference is driven through docling-serve's HTTP protocol
   POST /v1/convert/source/async       -> {"task_id": ...}     (202-style)
   GET  /v1/status/poll/{task_id}      -> {"task_status": pending|started|
                                           success|failure, ...}
-  GET  /v1/result/{task_id}           -> the extraction result as JSON
+  GET  /v1/result/{task_id}           -> one PAGE of the extraction result
+       (?offset=&limit=, default/max page caps) + total count + parquet
+       path for bulk readers — never a corpus-proportional body
 
 This module serves the SAME protocol over ``plans/jobs.py``: submission
 allocates a lineage-backed checkpointed run; a single background worker
@@ -31,6 +33,7 @@ import queue
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
 
 from pyspark.sql import SparkSession
 
@@ -41,6 +44,10 @@ _TASK_RE = re.compile(r"^/v1/(status/poll|result)/([0-9a-f]{12})$")
 
 MAX_ADVANCE_ATTEMPT_FAILURES = 3
 MAX_GROUPS = 4096
+# /v1/result paging: default page size, and the hard per-request cap — the
+# one knob that keeps a result fetch bounded regardless of corpus size
+DEFAULT_RESULT_LIMIT = 1000
+MAX_RESULT_LIMIT = 10_000
 
 
 class ServeContext:
@@ -141,7 +148,8 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/health":
             self._json(200, {"status": "ok"})
             return
-        m = _TASK_RE.match(self.path)
+        split = urlsplit(self.path)
+        m = _TASK_RE.match(split.path)
         if not m:
             self._json(404, {"error": "unknown endpoint"})
             return
@@ -166,18 +174,44 @@ class _Handler(BaseHTTPRequestHandler):
         if endpoint == "status/poll":
             self._json(200, status)
             return
-        # /v1/result
+        # /v1/result — PAGINATED: a result fetch must never materialize a
+        # corpus-proportional span set on the driver (or in one HTTP body).
+        # Clients page with ?offset=&limit= over the global
+        # (doc_id, offset) order; n_spans carries the total so a client
+        # knows when it has drained the result, and out_path lets bulk
+        # consumers scan the parquet directly instead of paging over HTTP.
         if status["task_status"] != SUCCESS:
             self._json(409, {"error": "task not finished", **status})
             return
+        try:
+            params = parse_qs(split.query)
+            page_offset = int(params.get("offset", ["0"])[0])
+            page_limit = int(params.get("limit", [str(DEFAULT_RESULT_LIMIT)])[0])
+            if page_offset < 0:
+                raise ValueError("offset must be >= 0")
+            if not 1 <= page_limit <= MAX_RESULT_LIMIT:
+                raise ValueError(f"limit must be in [1, {MAX_RESULT_LIMIT}]")
+        except (ValueError, TypeError) as exc:
+            self._json(400, {"error": str(exc)})
+            return
         out = self.ctx.spark.read.parquet(job.run.out_path)
         # 'group' is checkpoint bookkeeping (the resume key), not a span field
-        rows = out.drop("group").orderBy("doc_id", "offset").collect()
+        rows = (
+            out.drop("group")
+            .orderBy("doc_id", "offset")
+            .offset(page_offset)
+            .limit(page_limit)
+            .collect()
+        )
         self._json(
             200,
             {
                 "task_id": task_id,
-                "n_spans": len(rows),
+                "n_spans": out.count(),
+                "offset": page_offset,
+                "limit": page_limit,
+                "returned": len(rows),
+                "out_path": job.run.out_path,
                 "spans": [row.asDict() for row in rows],
             },
         )

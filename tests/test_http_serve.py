@@ -76,13 +76,39 @@ def test_submit_poll_fetch_roundtrip(serve, spark, sf_dir):
 
     code, result = _get(f"{serve}/v1/result/{task_id}")
     assert code == 200
-    # the served spans ARE the engine's extraction output for the corpus
+    # the served spans ARE the engine's extraction output for the corpus —
+    # but a fetch is PAGINATED (never corpus-proportional): n_spans is the
+    # total, spans is one bounded page, out_path points bulk readers at the
+    # parquet directly
     from docling_ocr_qwen3vl_spark.plans.pipeline import extract_spans
 
     expected = extract_spans(spark, sf_dir).count()
-    assert result["n_spans"] == expected == len(result["spans"])
+    assert result["n_spans"] == expected
+    assert result["returned"] == len(result["spans"]) <= result["limit"]
+    assert result["out_path"]
     first = result["spans"][0]
     assert set(first) == {"doc_id", "offset", "kind", "text", "media_ref"}
+
+    # drain the full result through pages and recover every span exactly once
+    page_size, got = 500, []
+    while len(got) < expected:
+        code, page = _get(
+            f"{serve}/v1/result/{task_id}?offset={len(got)}&limit={page_size}"
+        )
+        assert code == 200 and page["returned"] == len(page["spans"]) > 0
+        assert page["returned"] <= page_size
+        got.extend((s["doc_id"], s["offset"]) for s in page["spans"])
+    assert len(got) == expected == len(set(got))
+    assert got == sorted(got)  # stable global (doc_id, offset) order
+
+    # past-the-end page is empty, not an error
+    code, page = _get(f"{serve}/v1/result/{task_id}?offset={expected}&limit=10")
+    assert code == 200 and page["returned"] == 0 and page["n_spans"] == expected
+
+    # bad paging params -> 400, not a handler crash
+    for q in ("offset=-1", "limit=0", "limit=999999", "limit=abc"):
+        code, _ = _get(f"{serve}/v1/result/{task_id}?{q}")
+        assert code == 400
 
 
 def test_protocol_errors(serve, sf_dir):

@@ -558,3 +558,21 @@ def test_lsh_bucket_fast_kernel_matches_expression_kernel(spark):
     fast_p = {(r.vec_a, r.vec_b)
               for r in bucketed_near_duplicates(both, fast=True).collect()}
     assert fast_p == slow_p and len(fast_p) >= 60  # planted copies found
+
+
+def test_kmeans_over_bound_corpus_fails_loudly(spark):
+    """The 2^53 exactness precondition is a guard, not prose: a corpus
+    whose per-cell quantized sums exceed 2^53 must raise ArithmeticError
+    (the designed failure) instead of silently degrading the cross-engine
+    bit-reproducibility claim."""
+    import pytest as _pytest
+
+    from docling_ocr_qwen3vl_spark.operators.similarity import kmeans_refined_cells
+
+    # one vector at 1e12 quantizes to ~1e18 per component — a single-row
+    # cell sum already past 2^53 (~9.0e15)
+    emb = spark.createDataFrame(
+        [(0, [1.0e12] * 4), (1, [0.5] * 4)], ["vec_id", "v"]
+    ).select("vec_id", F.col("v").cast("array<double>").alias("v"))
+    with _pytest.raises(ArithmeticError, match="2\\^53"):
+        kmeans_refined_cells(emb, n_cells=2, iterations=1, dim=4)
