@@ -1112,11 +1112,18 @@ SELECT q_id, n_id, round(sim, 6) AS cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
-# both probe depths unioned under an n_probe key (matches q_knn_batch)
+# both probe depths unioned under (n_probe, kernel) keys (matches
+# q_knn_batch).  The 'fast' arm deliberately reuses the n_probe=2 SQL
+# verbatim: the numpy cogroup-matmul kernel claims to reproduce the
+# declarative expression semantics exactly (same cells, same top-k, same
+# (sim desc, n_id) tie-order, same 6dp-rounded cosines), so its oracle IS
+# the expression oracle.
 KNN_BATCH_SQL = (
-    "SELECT q_id, n_id, cosine, rank, 1 AS n_probe FROM (\n"
+    "SELECT q_id, n_id, cosine, rank, 1 AS n_probe, 'expr' AS kernel FROM (\n"
     + _knn_batch_sql(1)
-    + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 2 AS n_probe FROM (\n"
+    + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 2 AS n_probe, 'expr' AS kernel FROM (\n"
+    + _knn_batch_sql(2)
+    + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 2 AS n_probe, 'fast' AS kernel FROM (\n"
     + _knn_batch_sql(2)
     + ")"
 )

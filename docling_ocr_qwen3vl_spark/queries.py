@@ -923,11 +923,16 @@ def _png_header_hex(w, h):
 
 
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched ANN at both probe depths, unioned with an n_probe key: top-3
-    cosine neighbours for query vectors vec_id < 10, candidates pruned to
-    the query's IVF cell(s) (ONE corpus scan per depth for ALL queries —
-    the production shape of similarity search; n_probe=2 also searches each
-    query's runner-up cell, the recall knob)."""
+    """Batched ANN at both probe depths, unioned with (n_probe, kernel)
+    keys: top-3 cosine neighbours for query vectors vec_id < 10, candidates
+    pruned to the query's IVF cell(s) (ONE corpus scan per depth for ALL
+    queries — the production shape of similarity search; n_probe=2 also
+    searches each query's runner-up cell, the recall knob).  The 'fast'
+    arm runs the production numpy path (vectorized cell assign + salted
+    per-cell cogroup matmul top-k, the 57x volume kernel) against the SAME
+    declarative oracle SQL as the expression arm — the driver row is the
+    proof the volume kernel reproduces the declarative semantics, not just
+    the pytest rank-parity check."""
     from .operators.similarity import ivf_knn
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -936,9 +941,13 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
     out = None
-    for n_probe in (1, 2):
-        part = ivf_knn(corpus, queries, n_probe=n_probe).withColumn(
-            "n_probe", F.lit(n_probe)
+    for kernel, n_probe, fast in (
+        ("expr", 1, False), ("expr", 2, False), ("fast", 2, True)
+    ):
+        part = (
+            ivf_knn(corpus, queries, n_probe=n_probe, fast=fast)
+            .withColumn("n_probe", F.lit(n_probe))
+            .withColumn("kernel", F.lit(kernel))
         )
         out = part if out is None else out.unionByName(part)
     return out
