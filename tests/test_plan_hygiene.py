@@ -1,9 +1,11 @@
 """Plan-hygiene sweep over EVERY registered query: no accidental cartesian
 products or broadcast nested-loop joins anywhere in the surface.
 
-knn_bruteforce is the single allowlisted exception: it deliberately
-crossJoins a broadcast ONE-ROW query vector (the exactness baseline; the
-ANN paths are the scale alternatives).
+Two allowlisted exceptions: knn_bruteforce deliberately crossJoins a
+broadcast ONE-ROW query vector (the exactness baseline; the ANN paths are
+the scale alternatives), and knn_batch's fast arm crossJoins a broadcast
+16-row salt table to replicate queries over the salted corpus shards
+(bounded by n_salts, never corpus-proportional — see _cogroup_topk).
 
 The driver-loop queries (dup_components, dedup_survivors, ivf_kmeans)
 execute jobs during plan CONSTRUCTION, so their whole-loop plan cannot be
@@ -16,7 +18,7 @@ from pyspark.sql import functions as F
 
 from docling_ocr_qwen3vl_spark.queries import QUERIES
 
-ALLOWED_NESTED_LOOP = {"knn_bruteforce"}
+ALLOWED_NESTED_LOOP = {"knn_bruteforce", "knn_batch"}
 
 # fixpoint loops: whole-query plan construction runs jobs; their repeating
 # per-iteration plans are asserted individually below instead
