@@ -108,6 +108,10 @@ class ExtractConfig:
     prompt_overrides: dict[str, str] = field(default_factory=dict)
     # page rasterization scale, clamped >= 1.0 (model.py:48)
     page_scale: float = 2.0
+    # T12: route layout/table decoding through the per-value jsonformer
+    # walk (guaranteed-valid JSON, one model call per scalar) instead of
+    # single-shot + repair — forwarded to Qwen3VlOcrOptions on the workers
+    force_valid_json: bool = False
     # per-stage enables (plugins' enabled flags / do_*_enrichment options)
     do_ocr: bool = True
     do_layout: bool = True

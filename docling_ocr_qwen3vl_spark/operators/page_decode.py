@@ -120,8 +120,9 @@ def decode_pages(raw_pages: DataFrame, config=None) -> DataFrame:
 
     ``config`` (ExtractConfig) selects the decode backend and its knobs:
     decoder_backend ('deterministic' sandbox stub / 'qwen3vl' GPU path),
-    prompt_mode, prompt_overrides, page_scale — shipped to the workers as
-    plain values inside the pickled mapInPandas closure.
+    prompt_mode, prompt_overrides, page_scale, force_valid_json (T12) —
+    shipped to the workers as plain values inside the pickled mapInPandas
+    closure.
     """
     from ..config import ExtractConfig
 
@@ -130,6 +131,7 @@ def decode_pages(raw_pages: DataFrame, config=None) -> DataFrame:
         "prompt_mode": cfg.prompt_mode,
         "prompt_overrides": dict(cfg.prompt_overrides),
         "page_scale": cfg.page_scale,
+        "force_valid_json": cfg.force_valid_json,
     }
     decoded = raw_pages.select(
         "doc_id", F.col("page_no").cast("int").alias("page_no"), "payload_kind", "payload"

@@ -35,3 +35,30 @@ def test_config_page_scale_clamped():
 def test_config_rejects_unknown_mode():
     with pytest.raises(ValueError):
         ExtractConfig(prompt_mode="nope")
+
+
+def test_force_valid_json_flows_from_extract_config(monkeypatch, spark):
+    """ExtractConfig.force_valid_json must reach the worker-side decoder
+    options (the T12 walk is selectable from the PIPELINE config, not only
+    by constructing Qwen3VlOcrOptions directly)."""
+    from docling_ocr_qwen3vl_spark.config import ExtractConfig, Qwen3VlOcrOptions
+    from docling_ocr_qwen3vl_spark.operators import page_decode
+
+    seen = {}
+    real = page_decode._make_decode_batches
+
+    def spy(backend, decoder_opts):
+        seen["backend"] = backend
+        seen["opts"] = decoder_opts
+        return real(backend, decoder_opts)
+
+    monkeypatch.setattr(page_decode, "_make_decode_batches", spy)
+    raw = spark.createDataFrame(
+        [(1, 0, "plain_text", "hello world")],
+        "doc_id long, page_no int, payload_kind string, payload string",
+    )
+    page_decode.decode_pages(raw, config=ExtractConfig(force_valid_json=True))
+    assert seen["opts"]["force_valid_json"] is True
+    # and the dict round-trips into the stage options the decoder builds
+    opts = Qwen3VlOcrOptions(**{k: v for k, v in seen["opts"].items()})
+    assert opts.force_valid_json is True
