@@ -219,60 +219,22 @@ if __name__ == "__main__":
 """
 
 
-def run_bw_envelope(lo: int = 8, hi: int = 32, tasks: int = 64, reps: int = 3) -> dict:
-    """The host's MEMORY-BANDWIDTH scaling ceiling: the same pinned-CPU
-    min-of-k protocol as run_host_envelope, but the per-task work streams a
-    64 MB numpy array from DRAM instead of hashing a cache-resident buffer.
-    A fixed total amount of streaming work split over `procs` processes.
-
-    Why it exists: the stub extraction regime is Arrow-buffer-bound (its
-    32-core throughput ceiling is work-size independent — ~270k docs/s at
-    both 256x and 512x replication — the signature of a bandwidth limit,
-    not fixed overhead), and this VM's DRAM bandwidth does NOT grow 4x
-    from 8 to 32 vCPUs (measured ~0.6 efficiency: aggregate streaming
-    bandwidth grows only ~2.4x).  The md5 envelope cannot see this
-    ceiling, so normalizing a bandwidth-bound job against it understates
-    the job.  See BENCH/BASELINE.md 'The scaling bar'."""
-    out = {}
-    for procs in (lo, hi):
-        cmd = [sys.executable, "-c", _BW_BURN_SNIPPET,
-               str(procs), str(tasks), str(reps)]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["taskset", "-c", f"0-{procs - 1}"] + cmd
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            return {"error": proc.stderr[-300:]}
-        out[procs] = json.loads(line[-1])["sec"]
-    return {
-        "n_cores": lo,
-        "n4_cores": hi,
-        "sec_n": round(out[lo], 3),
-        "sec_4n": round(out[hi], 3),
-        "efficiency": round((out[lo] / out[hi]) / (hi / lo), 3),
-    }
-
-
-def run_host_envelope(lo: int = 8, hi: int = 32, tasks: int = 256, reps: int = 3) -> dict:
-    """The host's OWN scaling ceiling, measured with the same pinned-CPU
-    min-of-k protocol as the Spark runs but with ZERO Spark: a fixed total
-    amount of pure-Python md5 busy-work split over `procs` worker processes.
-    On ideal hardware efficiency = 1.0; on this oversubscribed VM it
-    measures ~0.85-0.95 — the ceiling any Spark job inherits.  Recording it
-    in the bench JSON makes the stub-regime-vs-host-floor argument
-    machine-checkable instead of prose."""
+def _run_envelope(
+    snippet: str, lo: int, hi: int, tasks: int, reps: int,
+    early_exit_at: float | None, rounds: int = 2,
+) -> dict:
+    """Shared envelope machinery: pinned-CPU min-of-k burn at lo and hi
+    procs, best of up to ``rounds`` independent measurement rounds (a
+    CEILING estimate: a single round taken during another tenant's burst
+    under-reports what the host can do).  A failed round (OOM-killed burn
+    child) is skipped, not fatal; a clean round at/above ``early_exit_at``
+    ends the measurement early."""
     best = None
     last_error = None
-    # the envelope is a CEILING estimate, so take the best of up to two
-    # independent measurement rounds — a single round taken during another
-    # tenant's burst under-reports what the host can do.  A failed round
-    # (OOM-killed burn child) is skipped, not fatal; a clean round at/above
-    # the 0.8 bar ends the measurement early (no budget wasted confirming
-    # an already-sufficient ceiling).
-    for _ in range(2):
+    for _ in range(rounds):
         out = {}
         for procs in (lo, hi):
-            cmd = [sys.executable, "-c", _BURN_SNIPPET,
+            cmd = [sys.executable, "-c", snippet,
                    str(procs), str(tasks), str(reps)]
             if os.path.exists("/usr/bin/taskset"):
                 cmd = ["taskset", "-c", f"0-{procs - 1}"] + cmd
@@ -294,9 +256,41 @@ def run_host_envelope(lo: int = 8, hi: int = 32, tasks: int = 256, reps: int = 3
         }
         if best is None or result["efficiency"] > best["efficiency"]:
             best = result
-        if best["efficiency"] >= 0.8:
+        if early_exit_at is not None and best["efficiency"] >= early_exit_at:
             break
     return best if best is not None else {"error": last_error}
+
+
+def run_bw_envelope(lo: int = 8, hi: int = 32, tasks: int = 64, reps: int = 3) -> dict:
+    """The host's MEMORY-BANDWIDTH scaling ceiling: the same pinned-CPU
+    min-of-k best-of-rounds protocol as run_host_envelope, but the
+    per-task work streams a 64 MB numpy array from DRAM instead of hashing
+    a cache-resident buffer.
+
+    Why it exists: the stub extraction regime is Arrow-buffer-bound (its
+    32-core throughput ceiling is work-size independent — ~270k docs/s at
+    both 256x and 512x replication — the signature of a bandwidth limit,
+    not fixed overhead), and this VM's DRAM bandwidth does NOT grow 4x
+    from 8 to 32 vCPUs (measured ~0.6 efficiency: aggregate streaming
+    bandwidth grows only ~2.4x).  The md5 envelope cannot see this
+    ceiling, so normalizing a bandwidth-bound job against it understates
+    the job.  See BENCH/BASELINE.md 'The scaling bar'.  No early exit:
+    this envelope DIVIDES the recorded normalization, so it always takes
+    the best of both rounds rather than stopping at a convenient value."""
+    return _run_envelope(_BW_BURN_SNIPPET, lo, hi, tasks, reps, early_exit_at=None)
+
+
+def run_host_envelope(lo: int = 8, hi: int = 32, tasks: int = 256, reps: int = 3) -> dict:
+    """The host's OWN compute-scaling ceiling, measured with the same
+    pinned-CPU min-of-k protocol as the Spark runs but with ZERO Spark: a
+    fixed total amount of pure-Python md5 busy-work split over `procs`
+    worker processes.  On ideal hardware efficiency = 1.0; on this
+    oversubscribed VM it measures ~0.85-0.95 — the ceiling any
+    compute-bound Spark job inherits.  Recording it in the bench JSON
+    makes the stub-regime-vs-host-floor argument machine-checkable instead
+    of prose.  Early-exits once a round measures >= 0.8 (no budget wasted
+    confirming an already-sufficient ceiling)."""
+    return _run_envelope(_BURN_SNIPPET, lo, hi, tasks, reps, early_exit_at=0.8)
 
 
 def run_dedup_sweep(spark, sf_dir: str) -> dict:
@@ -458,14 +452,17 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        t_scaling_start = time.time()
-        # measured host ceiling first: the reference point both Spark
+        # measured host ceilings first: the reference points both Spark
         # scaling regimes are judged against — and the SAME-RUN normalizer
         # for them (this oversubscribed VM's own 8->32-proc efficiency
         # swings 0.54-0.89 run to run; a Spark number can only be judged
         # against the envelope measured alongside it)
         result["host_envelope"] = run_host_envelope()
         result["host_envelope_bw"] = run_bw_envelope()
+        # the Spark-regime budget clock starts AFTER the envelopes: the
+        # envelope blocks and the stub attempts must not eat the criterion
+        # regime's retry below
+        t_scaling_start = time.time()
         env_eff = result["host_envelope"].get("efficiency")
         bw_eff = result["host_envelope_bw"].get("efficiency")
 
@@ -507,10 +504,10 @@ def main() -> None:
         # inference regime: 1ms/page simulated model latency (still 100-1000x
         # cheaper than the reference's real VLM) — the map stage dominates,
         # which is the regime the north-rule's GPU deployment actually runs
-        # in.  Retry once under threshold unless the SCALING budget is spent
-        # (measured from the scaling block, not bench start — the query /
-        # sweep / envelope blocks must not eat the criterion regime's retry).
-        budget_left = time.time() - t_scaling_start < 420
+        # in.  Retry once under threshold unless the Spark-regime budget
+        # is spent (clock starts after the envelopes; the stub regime's
+        # three attempts fit inside it with room for one sim retry).
+        budget_left = time.time() - t_scaling_start < 540
         result["scaling_inference_sim"] = normalized(run_scaling(
             SF_DIR, rep=12, reps=2, decode_cost_us=1000,
             retry_below=0.8 if budget_left else None,

@@ -358,5 +358,16 @@ class TorchTokenBackend:
         b_id = self.processor.tokenizer.convert_tokens_to_ids(b)
         if not (isinstance(a_id, int) and isinstance(b_id, int)):
             return None
+        # Deliberate deviation from the reference guard
+        # (_vlm_jsonformer.py:353 checks only isinstance(int)): tokenizers
+        # that map unknown tokens to unk_token_id return an int for BOTH
+        # literals — the same int — and the reference then compares a
+        # logit with itself (always False).  Two identical ids cannot be
+        # two distinct literals, so treat that as resolution failure and
+        # let the walk take the greedy fallback the reference reserves
+        # for exactly this case.
+        unk = getattr(self.processor.tokenizer, "unk_token_id", None)
+        if a_id == b_id or a_id == unk or b_id == unk:
+            return None
         logits = self._next_logits(user_text, assistant_prefix)
         return bool(logits[a_id] > logits[b_id])

@@ -28,19 +28,31 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-_LIVE_CACHES: list[DataFrame] = []
+_LIVE_CACHES: list[tuple[str, DataFrame]] = []
 
 
-def register_cache(df: DataFrame) -> DataFrame:
-    """Track a just-persisted DataFrame for later release; returns it."""
-    _LIVE_CACHES.append(df)
+def register_cache(df: DataFrame, kind: str = "generic") -> DataFrame:
+    """Track a just-persisted DataFrame for later release; returns it.
+
+    ``kind`` scopes bulk release: ``release_caches("signatures")`` drains
+    only the MinHash signature projections, so a caller following one
+    operator's release contract cannot unpersist another operator's
+    still-unmaterialized cache (and silently reintroduce its N-reference
+    recompute)."""
+    _LIVE_CACHES.append((kind, df))
     return df
 
 
-def release_caches() -> None:
-    """Unpersist every live registered cache (oldest first)."""
+def release_caches(kind: str | None = None) -> None:
+    """Unpersist live registered caches — all of them, or only ``kind``."""
+    keep = []
     while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist(blocking=False)
+        k, df = _LIVE_CACHES.pop()
+        if kind is None or k == kind:
+            df.unpersist(blocking=False)
+        else:
+            keep.append((k, df))
+    _LIVE_CACHES.extend(reversed(keep))
 
 
 @contextmanager
@@ -52,6 +64,6 @@ def scoped_caches() -> Iterator[None]:
     try:
         yield
     finally:
-        for df in _LIVE_CACHES[mark:]:
+        for _, df in _LIVE_CACHES[mark:]:
             df.unpersist(blocking=False)
         del _LIVE_CACHES[mark:]

@@ -237,7 +237,10 @@ def minhash_signature_fast(
 # (checkpointed/written) — pipeline operators that materialize internally
 # (near_duplicate_components, the registered dedup queries, the bench
 # sweep) scope-release themselves; ad-hoc callers own the lifecycle.
-release_signature_caches = release_caches
+def release_signature_caches() -> None:
+    """Drain only the signature-projection caches (kind='signatures')
+    — other operators' still-live caches are untouched."""
+    release_caches("signatures")
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -265,7 +268,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     # so eager unpersist-previous here would reintroduce the recompute);
     # see operators/caching.py
     keyed = register_cache(
-        signatures.select(id_col, *bands).persist(StorageLevel.MEMORY_AND_DISK)
+        signatures.select(id_col, *bands).persist(StorageLevel.MEMORY_AND_DISK),
+        kind="signatures",
     )
     pairs = None
     for band in bands:

@@ -162,7 +162,7 @@ def bucketed_near_duplicates(
 
         from .caching import register_cache
 
-        b = register_cache(b.persist(StorageLevel.MEMORY_AND_DISK))
+        b = register_cache(b.persist(StorageLevel.MEMORY_AND_DISK), kind="buckets")
     left = b.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "bucket"
     )

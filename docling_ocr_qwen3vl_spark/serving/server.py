@@ -61,8 +61,23 @@ class ServeContext:
         self.tasks: queue.Queue[str] = queue.Queue()
         self.failures: dict[str, str] = {}
         self._attempt_failures: dict[str, int] = {}
+        # task_id -> total span count, filled on the first result fetch so
+        # a client draining N pages costs ONE count job, not N (the output
+        # of a finished job is immutable, so the cache never goes stale)
+        self.result_counts: dict[str, int] = {}
+        self._counts_lock = threading.Lock()
         self._stop = threading.Event()
         self.worker = threading.Thread(target=self._work, daemon=True)
+
+    def total_spans(self, task_id: str, out) -> int:
+        with self._counts_lock:
+            cached = self.result_counts.get(task_id)
+        if cached is not None:
+            return cached
+        n = out.count()
+        with self._counts_lock:
+            self.result_counts[task_id] = n
+        return n
 
     def start(self) -> None:
         self._resume_inflight()
@@ -207,7 +222,7 @@ class _Handler(BaseHTTPRequestHandler):
             200,
             {
                 "task_id": task_id,
-                "n_spans": out.count(),
+                "n_spans": self.ctx.total_spans(task_id, out),
                 "offset": page_offset,
                 "limit": page_limit,
                 "returned": len(rows),

@@ -32,7 +32,7 @@ def test_scoped_caches_releases_only_inner_entries(spark):
         assert inner.storageLevel.useMemory
     # inner released, outer untouched
     assert not inner.storageLevel.useMemory
-    assert outer in _LIVE_CACHES and len(_LIVE_CACHES) == 1
+    assert [df for _, df in _LIVE_CACHES] == [outer]
     release_caches()
     assert not _LIVE_CACHES and not outer.storageLevel.useMemory
 
@@ -47,11 +47,11 @@ def test_scoped_caches_releases_on_error():
     fake = Fake()
     try:
         with scoped_caches():
-            _LIVE_CACHES.append(fake)
+            _LIVE_CACHES.append(("generic", fake))
             raise RuntimeError("boom")
     except RuntimeError:
         pass
-    assert fake.released and fake not in _LIVE_CACHES
+    assert fake.released and all(df is not fake for _, df in _LIVE_CACHES)
 
 
 def test_lsh_candidate_pairs_cache_released_by_query_wrapper(spark, tmp_path):
@@ -91,3 +91,29 @@ def test_bucketed_near_duplicates_fast_registers_releasable_cache(spark):
         pairs.count()  # materialize inside the scope
         assert len(_LIVE_CACHES) == before + 1  # fast path registered it
     assert len(_LIVE_CACHES) == before  # and the scope released it
+
+
+def test_release_by_kind_leaves_other_kinds_live():
+    """release_signature_caches must drain ONLY the signature caches —
+    draining another operator's still-unmaterialized cache would silently
+    reintroduce its N-reference recompute."""
+    from docling_ocr_qwen3vl_spark.operators.dedup import release_signature_caches
+
+    class Fake:
+        def __init__(self):
+            self.released = False
+
+        def unpersist(self, blocking=False):
+            self.released = True
+
+    sig, bucket = Fake(), Fake()
+    _LIVE_CACHES.append(("signatures", sig))
+    _LIVE_CACHES.append(("buckets", bucket))
+    try:
+        release_signature_caches()
+        assert sig.released and not bucket.released
+        assert ("buckets", bucket) in _LIVE_CACHES
+        assert ("signatures", sig) not in _LIVE_CACHES
+    finally:
+        release_caches()
+    assert bucket.released and not _LIVE_CACHES

@@ -176,3 +176,37 @@ def test_nested_object_in_array_in_object():
     final = json.dumps(result)
     for prefix in backend.prefixes:
         assert final.startswith(prefix.rstrip('"')) or GENERATION_MARKER not in prefix
+
+
+def test_torch_backend_prefer_literal_unk_guard():
+    """Tokenizers that map unknown tokens to unk_token_id return an INT for
+    both literals — the same int.  The backend must treat identical ids
+    (or an unk id) as resolution failure (None -> greedy fallback), not
+    compare a logit with itself; documented deviation from the reference's
+    isinstance-only guard (_vlm_jsonformer.py:353)."""
+    import types
+
+    from docling_ocr_qwen3vl_spark.inference.jsonformer import TorchTokenBackend
+
+    calls = {"forward": 0}
+
+    class Tok:
+        unk_token_id = 0
+
+        def convert_tokens_to_ids(self, tok):
+            return 0  # everything unknown -> unk
+
+    class Model:
+        device = "cpu"
+
+        def forward(self, **kw):
+            calls["forward"] += 1
+
+    processor = types.SimpleNamespace(tokenizer=Tok())
+    backend = TorchTokenBackend(Model(), processor, types.SimpleNamespace(), None)
+    assert backend.prefer_literal("u", "p", "true", "false") is None
+    assert calls["forward"] == 0  # no wasted forward pass on a degenerate probe
+
+    # non-int (the reference's own failure branch) still yields None
+    processor.tokenizer.convert_tokens_to_ids = lambda tok: None
+    assert backend.prefer_literal("u", "p", "true", "false") is None

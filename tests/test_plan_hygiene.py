@@ -18,24 +18,50 @@ from pyspark.sql import functions as F
 
 from docling_ocr_qwen3vl_spark.queries import QUERIES
 
-ALLOWED_NESTED_LOOP = {"knn_bruteforce", "knn_batch"}
+# name -> max tolerated BroadcastNestedLoopJoin occurrences: the bound is
+# per-query so a SECOND accidental nested loop (e.g. a broken equi-join in
+# knn_batch's expression arms) still fails the sweep
+ALLOWED_NESTED_LOOP = {"knn_bruteforce": 1, "knn_batch": 1}
 
-# fixpoint loops: whole-query plan construction runs jobs; their repeating
-# per-iteration plans are asserted individually below instead
-ITERATIVE = {"ivf_kmeans", "dup_components", "dedup_survivors"}
+# fixpoint loops / eager builders: whole-query plan construction runs jobs
+# (driver-loop collects or an eager localCheckpoint), so the sweep would
+# only inspect a checkpoint scan; their REAL repeating/lazy plans are
+# asserted individually below instead
+ITERATIVE = {"ivf_kmeans", "dup_components", "dedup_survivors", "lsh_dup_pairs"}
 
 
-def _assert_clean(df, name, allow_nested_loop=False):
+def _assert_clean(df, name, max_nested_loop=0):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
-    if not allow_nested_loop:
-        assert "BroadcastNestedLoopJoin" not in plan, name
+    n_bnl = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnl <= max_nested_loop, f"{name}: {n_bnl} nested-loop joins"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - ITERATIVE))
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
-    _assert_clean(df, name, allow_nested_loop=name in ALLOWED_NESTED_LOOP)
+    _assert_clean(df, name, max_nested_loop=ALLOWED_NESTED_LOOP.get(name, 0))
+
+
+def test_lsh_pair_union_plan_clean(spark, sf_dir):
+    """The lazy two-kernel LSH pair plan (what q_lsh_dup_pairs eagerly
+    checkpoints — the sweep above would only see its checkpoint scan):
+    banded equi-joins only, for BOTH kernels."""
+    from docling_ocr_qwen3vl_spark.operators.caching import scoped_caches
+    from docling_ocr_qwen3vl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        minhash_signature_fast,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    with scoped_caches():
+        k8 = lsh_candidate_pairs(minhash_signature(docs))
+        k64 = lsh_candidate_pairs(minhash_signature_fast(docs))
+        union = k8.unionByName(k64)
+        _assert_clean(union, "lsh_pair_union")
+        plan = union._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Join") >= 2  # both kernels' band joins present
 
 
 def test_propagation_round_plan_clean(spark):
