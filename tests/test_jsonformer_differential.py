@@ -320,3 +320,99 @@ def test_differential_boolean_one_ranked_literal(ref_mod):
     ref_out, mine_out, ref_pref, mine_pref = run_both(ref_mod, schema, script)
     assert ref_out == mine_out == {"hdr": True}
     assert ref_pref == mine_pref
+
+
+# --------------------------- randomized differential (hypothesis-driven)
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class ReactiveBrain:
+    """Answers ANY prefix deterministically (md5-derived), so randomized
+    schemas need no pre-scripting: both walks consult the same function of
+    the prefix, and any divergence in prefix CONSTRUCTION surfaces as a
+    different continuation/ranking stream -> different outputs."""
+
+    _CONTINUATIONS = ['12.5, ', '-3}', 'junk', 'alpha" tail', '0.25',
+                      'true x', '7, 8', 'Quarterly" ...', '', '99']
+    # every ranking carries a decisive array token (',' or ']'): the
+    # ref-side mock's topk(30) pads its tail with ZERO-SCORE vocab chars
+    # (including ','/']' minted while char-tokenizing earlier
+    # continuations) in arbitrary id order — a mock artifact a real
+    # model's top-30 does not have — so the scripted ranking must decide
+    # the continue-probe before that tail can
+    _RANKINGS = [[","], ["]"], ["true", "false", ","], ["false", "true", "]"],
+                 ["x", "true", ","], ["{", "x", "]"], ["]", ","], ["x", ","]]
+
+    def __init__(self):
+        self.prefixes_seen: list[str] = []
+
+    def lookup(self, prefix: str):
+        self.prefixes_seen.append(prefix)
+        h = int(hashlib.md5(prefix.encode()).hexdigest(), 16)
+        return (
+            self._CONTINUATIONS[h % len(self._CONTINUATIONS)],
+            self._RANKINGS[(h >> 8) % len(self._RANKINGS)],
+        )
+
+
+_scalar = st.sampled_from(
+    [{"type": "number"}, {"type": "string"}, {"type": "boolean"}]
+)
+_schema = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.fixed_dictionaries(
+            {"type": st.just("object"),
+             "properties": st.dictionaries(
+                 st.sampled_from(["a", "b", "rows", "label", "x1"]),
+                 children, min_size=1, max_size=3)}
+        ),
+        st.fixed_dictionaries(
+            {"type": st.just("array"), "items": children}
+        ),
+    ),
+    max_leaves=6,
+)
+_root = st.one_of(
+    st.fixed_dictionaries(
+        {"type": st.just("object"),
+         "properties": st.dictionaries(
+             st.sampled_from(["a", "b", "cells"]), _schema,
+             min_size=1, max_size=3)}),
+    st.fixed_dictionaries({"type": st.just("array"), "items": _schema}),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(schema=_root)
+def test_differential_randomized_schemas(ref_mod_cached, schema):
+    """Randomized schema trees over a reactive brain: the reference
+    VLMJsonformer and JsonformerWalk must produce identical outputs AND
+    identical prefix streams for EVERY schema shape — object/array
+    nesting, scalar mix, array-continue decisions, boolean probes."""
+    from docling_ocr_qwen3vl_spark.inference.jsonformer import JsonformerWalk
+
+    brain_ref = ReactiveBrain()
+    vocab = Vocab()
+    vocab.id_for("<pad>")
+    processor = RefProcessor(brain_ref, vocab)
+    model = RefModel(brain_ref, vocab, processor)
+    ref_out = ref_mod_cached.VLMJsonformer(
+        model, processor, schema, "extract", image=object()
+    )()
+
+    brain_mine = ReactiveBrain()
+    mine_out = JsonformerWalk(BridgeBackend(brain_mine), schema, "extract")()
+
+    assert ref_out == mine_out
+    assert brain_ref.prefixes_seen == brain_mine.prefixes_seen
+
+
+@pytest.fixture(scope="module")
+def ref_mod_cached(ref_mod):
+    # hypothesis forbids function-scoped fixtures; alias the module-scoped
+    # reference module under a name the @given test can take
+    return ref_mod
