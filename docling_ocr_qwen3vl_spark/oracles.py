@@ -261,8 +261,17 @@ m AS (
          - len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
       / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS dup_line_fraction,
     CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-      / CAST(len(ws) AS DOUBLE) AS alpha_ratio
+      / CAST(len(ws) AS DOUBLE) AS alpha_ratio,
+    list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+                   i -> array_to_string(ws[i:i+1], ' ')) AS grams
   FROM docs
+),
+m2 AS (
+  SELECT *,
+    CAST(list_max(list_transform(list_distinct(grams),
+                                 g -> len(list_filter(grams, x -> x = g))))
+         AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS top_gram_fraction
+  FROM m
 )
 SELECT doc_id,
   (n >= 5 AND n <= 100000) AS ok_word_count,
@@ -271,10 +280,12 @@ SELECT doc_id,
   (ell_ratio <= 0.3) AS ok_ellipsis_lines,
   (dup_line_fraction <= 0.3) AS ok_dup_lines,
   (alpha_ratio >= 0.8) AS ok_alpha_words,
+  (n < 5 OR top_gram_fraction <= 0.2) AS ok_top_2gram,
   ((n >= 5 AND n <= 100000) AND (mean_len >= 2.0 AND mean_len <= 12.0)
    AND symbol_ratio <= 0.1 AND ell_ratio <= 0.3
-   AND dup_line_fraction <= 0.3 AND alpha_ratio >= 0.8) AS keep
-FROM m
+   AND dup_line_fraction <= 0.3 AND alpha_ratio >= 0.8
+   AND (n < 5 OR top_gram_fraction <= 0.2)) AS keep
+FROM m2
 """
 )
 

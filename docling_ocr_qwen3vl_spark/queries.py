@@ -476,12 +476,28 @@ def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_ratio = F.size(
         F.filter(F.col("ws"), lambda w: w.rlike("[a-zA-Z]"))
     ).cast("double") / n
+    # Gopher top-2-gram repetition: the fraction of 2-gram occurrences
+    # taken by the single most common 2-gram — high values flag templated/
+    # boilerplate text exact-line dedup misses.  slice() clamps at the
+    # array end (ANSI-safe for 1-word docs); the rule only applies from
+    # the word-count floor up (tiny docs degenerate to fraction 1.0).
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n.cast("int") - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(F.col("ws"), i, 2), " "),
+    )
+    top_gram_fraction = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    ).cast("double") / F.size(grams).cast("double")
     ok_words = (n >= 5) & (n <= 100000)
     ok_mean = (mean_len >= 2.0) & (mean_len <= 12.0)
     ok_symbols = symbol_ratio <= 0.1
     ok_ellipsis = ellipsis_line_ratio <= 0.3
     ok_dup_lines = dup_line_fraction <= 0.3
     ok_alpha = alpha_ratio >= 0.8
+    ok_top2 = (n < 5) | (top_gram_fraction <= 0.2)
     return d.select(
         "doc_id",
         ok_words.alias("ok_word_count"),
@@ -490,8 +506,10 @@ def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_ellipsis.alias("ok_ellipsis_lines"),
         ok_dup_lines.alias("ok_dup_lines"),
         ok_alpha.alias("ok_alpha_words"),
+        ok_top2.alias("ok_top_2gram"),
         (
-            ok_words & ok_mean & ok_symbols & ok_ellipsis & ok_dup_lines & ok_alpha
+            ok_words & ok_mean & ok_symbols & ok_ellipsis & ok_dup_lines
+            & ok_alpha & ok_top2
         ).alias("keep"),
     )
 

@@ -20,6 +20,9 @@ DOCS = {
     5: "\n".join(["keep reading..."] * 8 + ["distinct line %d" % i for i in range(2)]),
     6: "\n".join(["same line of text"] * 9 + ["unique one"]),  # dup lines > 0.3
     7: "1 2 3 4 5 6 7 8 9 x",                             # alpha ratio 0.1
+    # templated text: 'buy now' dominates the 2-gram distribution while
+    # every LINE stays distinct (dup-line rule can't see it)
+    8: "\n".join(f"buy now item {i} buy now" for i in range(12)),
 }
 
 
@@ -50,6 +53,7 @@ def test_good_doc_keeps(rules):
         (5, "ok_ellipsis_lines"),
         (6, "ok_dup_lines"),
         (7, "ok_alpha_words"),
+        (8, "ok_top_2gram"),
     ],
 )
 def test_each_rule_rejects_its_pathology(rules, doc_id, failing_rule):
@@ -66,3 +70,5 @@ def test_rules_are_independent(rules):
     assert rules[6]["ok_ellipsis_lines"] is True   # dup lines aren't ellipses
     assert rules[5]["ok_dup_lines"] is False or rules[5]["ok_ellipsis_lines"] is False
     assert rules[7]["ok_word_count"] is True       # 10 words is plenty
+    assert rules[8]["ok_dup_lines"] is True        # every line is distinct
+    assert rules[1]["ok_top_2gram"] is True        # normal prose passes
