@@ -1,0 +1,159 @@
+"""Incremental (streaming) near-duplicate filtering.
+
+A continuously-fed corpus cannot re-run global dedup per drop: each
+micro-batch must be deduplicated against EVERYTHING already ingested
+without rescanning it.  This module keeps a compact SIGNATURE STORE
+(LSH band keys only — ~8 md5 strings per accepted doc, never text) and
+runs, per micro-batch via ``foreachBatch``:
+
+  1. in-batch dedup: fast MinHash (k/bands from ExtractConfig) -> banded
+     candidate pairs -> min-label components -> component representatives
+     (the same operators the batch sweep uses — one code path);
+  2. cross-batch dedup: anti-join the representatives' band keys against
+     the store — any collision with a previously accepted document drops
+     the newcomer (LSH-candidate collision semantics, the recall knob is
+     (k, n_bands); a production pipeline can append an n-gram-Jaccard
+     verify stage before the drop, exactly as the batch path does);
+  3. exactly-once outputs: survivors AND their band keys are written to
+     per-batch-id directories with overwrite (same idempotent-retry
+     argument as stream.write_batch_idempotent); the store lookup in step
+     2 EXCLUDES the current batch_id partition, so a retried batch never
+     collides with its own partial previous attempt.
+
+At 10^12 docs the store is the only growing state and it is band keys
+only; the lookup is a broadcast-able (or bucketed) equi-join on the band
+key — never a scan of ingested text.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+from ..config import ExtractConfig
+from ..operators.caching import scoped_caches
+from ..operators.dedup import (
+    dup_components,
+    lsh_candidate_pairs,
+    minhash_signature_fast,
+)
+from .stream import stream_documents
+
+STORE_SCHEMA = "band_key string"
+
+
+def _band_cols(df: DataFrame) -> list[str]:
+    import re
+
+    return [c for c in df.columns if re.fullmatch(r"band\d+", c)]
+
+
+def melt_band_keys(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band0..bandN) -> (id, band_key) long form, band index baked
+    into the key so band0 collisions never match band1 keys."""
+    bands = _band_cols(signatures)
+    return signatures.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(b) for b in bands])).alias("bi", "bk"),
+    ).select(
+        id_col,
+        F.concat(F.col("bi").cast("string"), F.lit(":"), F.col("bk")).alias(
+            "band_key"
+        ),
+    )
+
+
+def read_signature_store(
+    spark: SparkSession, store_dir: str, exclude_batch_id: int | None = None
+) -> DataFrame:
+    """The accepted-document band keys, as (band_key).  ``exclude_batch_id``
+    prunes the current batch's own partition — a retried batch must not
+    collide with its own failed attempt's partial write."""
+    try:
+        store = spark.read.parquet(store_dir)
+    except AnalysisException:
+        return spark.createDataFrame([], STORE_SCHEMA)
+    if "batch_id" in store.columns and exclude_batch_id is not None:
+        store = store.filter(F.col("batch_id") != exclude_batch_id)
+    return store.select("band_key")
+
+
+def dedup_batch(
+    batch_df: DataFrame,
+    store: DataFrame,
+    config: ExtractConfig | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch through in-batch + cross-batch dedup.
+
+    Returns (survivors, survivor_band_keys) — both still lazy; the caller
+    owns materialization (and therefore the cache scope)."""
+    from pyspark import StorageLevel
+
+    from ..operators.caching import register_cache
+
+    cfg = config or ExtractConfig()
+    sigs = minhash_signature_fast(
+        batch_df, k=cfg.minhash_k, n_bands=cfg.minhash_bands
+    )
+    # one cache boundary right after the UDF: every consumer below (pair
+    # join, melt, survivor anti-joins) reads the slim (id, bands)
+    # projection — the signature kernel runs ONCE per batch
+    slim = register_cache(
+        sigs.select("doc_id", *_band_cols(sigs)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        ),
+        kind="signatures",
+    )
+    pairs = lsh_candidate_pairs(slim)
+    comps = dup_components(batch_df.select("doc_id"), pairs)
+    reps = comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    keys = melt_band_keys(slim).join(reps, "doc_id")  # representatives only
+    # cross-batch: any band collision with the store drops the doc
+    contaminated = keys.join(store, "band_key").select("doc_id").distinct()
+    survivor_ids = reps.join(contaminated, "doc_id", "left_anti")
+    survivors = batch_df.join(survivor_ids, "doc_id")
+    survivor_keys = keys.join(survivor_ids, "doc_id").select("band_key").distinct()
+    return survivors, survivor_keys
+
+
+def start_incremental_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    survivors_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    config: ExtractConfig | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming dedup: survivors land in ``survivors_dir/batch_id=N``,
+    their band keys in ``store_dir/batch_id=N`` — both overwritten on
+    retry (exactly-once), with the store lookup excluding the current
+    batch id."""
+    cfg = config or ExtractConfig()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store = read_signature_store(spark, store_dir, exclude_batch_id=batch_id)
+        with scoped_caches():
+            survivors, keys = dedup_batch(batch_df, store, cfg)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(survivors_dir, f"batch_id={batch_id}")
+            )
+            keys.write.mode("overwrite").parquet(
+                os.path.join(store_dir, f"batch_id={batch_id}")
+            )
+
+    writer = (
+        stream_documents(spark, input_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

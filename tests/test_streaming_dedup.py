@@ -1,0 +1,148 @@
+"""Streaming incremental dedup: in-batch + cross-batch near-dup filtering
+over a file-source stream with an exactly-once signature store.
+
+Drops three document files (one micro-batch each at maxFilesPerTrigger=1):
+batch 1 carries an internal near-dup pair, batch 2 a cross-batch near-dup
+of a batch-1 survivor, batch 3 (a RESTARTED stream on the same checkpoint)
+a near-dup of a batch-2 survivor — so the test pins in-batch dedup,
+store-lookup dedup, and checkpoint-resumed store growth in one flow."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+    dedup_batch,
+    melt_band_keys,
+    read_signature_store,
+    start_incremental_dedup_stream,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale winter moon near the old stone bridge"
+)
+OTHER = (
+    "completely different subject matter entirely about numerical linear "
+    "algebra kernels cache blocking vectorization and memory bandwidth "
+    "ceilings on modern hardware platforms"
+)
+THIRD = (
+    "a third unrelated document describing medieval trade routes salt "
+    "roads river barges toll bridges and the merchants guilds that ran "
+    "them across the continent for centuries"
+)
+
+
+def _write_batch(spark, input_dir, name, rows):
+    # the file stream watches input_dir itself (not nested dirs): write to
+    # a scratch dir, then drop the single part file in as <name>.parquet
+    import glob
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "stream", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    scratch = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(input_dir, f"{name}.parquet"))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _run(spark, dirs):
+    q = start_incremental_dedup_stream(
+        spark,
+        input_dir=dirs["in"],
+        survivors_dir=dirs["out"],
+        store_dir=dirs["store"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    q.awaitTermination(300)
+
+
+def _survivor_ids(spark, out_dir):
+    return sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    )
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "out", "store", "ckpt")}
+    os.makedirs(d["in"])
+    return d
+
+
+def test_incremental_dedup_stream_end_to_end(spark, dirs):
+    # batch 1: doc 1 and near-dup doc 2 (in-batch), doc 3 distinct
+    _write_batch(spark, dirs["in"], "b1", [
+        (1, BASE), (2, BASE + " zz qq"), (3, OTHER),
+    ])
+    _run(spark, dirs)
+    assert _survivor_ids(spark, dirs["out"]) == [1, 3]
+
+    # batch 2 (new stream run, same checkpoint): doc 4 is a near-dup of
+    # ACCEPTED doc 1 -> dropped by the store lookup; doc 5 distinct
+    _write_batch(spark, dirs["in"], "b2", [
+        (4, BASE + " qq zz"), (5, THIRD),
+    ])
+    _run(spark, dirs)
+    assert _survivor_ids(spark, dirs["out"]) == [1, 3, 5]
+
+    # batch 3: near-dup of batch-2 survivor 5 -> the store grew across
+    # the restart; doc 7 genuinely distinct survives (an appended-tail
+    # variant of doc 3 would be CORRECTLY dropped — that is a near-dup)
+    fourth = (
+        "yet another standalone topic covering tidal marsh ecology the "
+        "migratory birds that feed there and the sediment cycles shaping "
+        "the estuary over seasonal floods"
+    )
+    _write_batch(spark, dirs["in"], "b3", [
+        (6, THIRD + " zz qq"), (7, fourth),
+    ])
+    _run(spark, dirs)
+    survivors = _survivor_ids(spark, dirs["out"])
+    assert 6 not in survivors and 7 in survivors
+    assert survivors == [1, 3, 5, 7]
+
+    # store holds band keys for every accepted doc, partitioned by batch
+    store = spark.read.parquet(dirs["store"])
+    assert store.select("band_key").distinct().count() > 0
+    assert store.select("batch_id").distinct().count() >= 3
+
+
+def test_retry_excludes_own_partial_store_write(spark, dirs):
+    """A retried batch must not collide with its own failed attempt: the
+    store lookup excludes the current batch_id partition."""
+    _write_batch(spark, dirs["in"], "b1", [(1, BASE), (2, OTHER)])
+    # simulate a failed attempt of batch 7 that already wrote its keys
+    df = spark.createDataFrame(
+        [(1, BASE, "en", "s", len(BASE))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _, keys = dedup_batch(df, read_signature_store(spark, dirs["store"]))
+    keys.write.mode("overwrite").parquet(
+        os.path.join(dirs["store"], "batch_id=7")
+    )
+    # the retry of batch 7 sees a store WITHOUT its own partial keys
+    store_for_retry = read_signature_store(spark, dirs["store"], exclude_batch_id=7)
+    assert store_for_retry.count() == 0
+    survivors, _ = dedup_batch(df, store_for_retry)
+    assert [r.doc_id for r in survivors.collect()] == [1]
+    # but a DIFFERENT batch does see those keys
+    store_for_next = read_signature_store(spark, dirs["store"], exclude_batch_id=8)
+    assert store_for_next.count() > 0
+
+
+def test_melt_band_keys_shape(spark):
+    sigs = spark.createDataFrame(
+        [(1, "aa", "bb")], "doc_id long, band0 string, band1 string"
+    )
+    got = {(r.doc_id, r.band_key) for r in melt_band_keys(sigs).collect()}
+    assert got == {(1, "0:aa"), (1, "1:bb")}
