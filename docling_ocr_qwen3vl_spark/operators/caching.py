@@ -59,11 +59,20 @@ def release_caches(kind: str | None = None) -> None:
 def scoped_caches() -> Iterator[None]:
     """Release every cache registered inside the block on exit — including
     on error paths.  Only caches registered AFTER entry are touched, so
-    scopes nest and never release an outer scope's still-needed cache."""
-    mark = len(_LIVE_CACHES)
+    scopes nest and never release an outer scope's still-needed cache.
+
+    Entry membership is tracked by IDENTITY, not list position: a
+    kind-filtered ``release_caches`` inside the scope may remove entries
+    registered BEFORE it, which would shift a positional mark and let
+    inner entries escape the scope."""
+    before = {id(df) for _, df in _LIVE_CACHES}
     try:
         yield
     finally:
-        for _, df in _LIVE_CACHES[mark:]:
-            df.unpersist(blocking=False)
-        del _LIVE_CACHES[mark:]
+        keep = []
+        for k, df in _LIVE_CACHES:
+            if id(df) in before:
+                keep.append((k, df))
+            else:
+                df.unpersist(blocking=False)
+        _LIVE_CACHES[:] = keep

@@ -263,14 +263,26 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     bands = [c for c in signatures.columns if re.fullmatch(r"band\d+", c)]
     if not bands:
         raise ValueError("signature table has no bandN columns")
-    # registered so finished pipelines can release it (a plan can reference
-    # this function's output more than once — e.g. the two-kernel union —
-    # so eager unpersist-previous here would reintroduce the recompute);
-    # see operators/caching.py
-    keyed = register_cache(
-        signatures.select(id_col, *bands).persist(StorageLevel.MEMORY_AND_DISK),
-        kind="signatures",
-    )
+    lvl = signatures.storageLevel
+    if (lvl.useMemory or lvl.useDisk) and set(signatures.columns) == {
+        id_col, *bands
+    }:
+        # the input IS an already-persisted slim projection (e.g. the
+        # streaming dedup's per-batch cache) — re-persisting it would hold
+        # two MEMORY_AND_DISK copies of identical data; the caller owns
+        # its cache's lifecycle
+        keyed = signatures
+    else:
+        # registered so finished pipelines can release it (a plan can
+        # reference this function's output more than once — e.g. the
+        # two-kernel union — so eager unpersist-previous here would
+        # reintroduce the recompute); see operators/caching.py
+        keyed = register_cache(
+            signatures.select(id_col, *bands).persist(
+                StorageLevel.MEMORY_AND_DISK
+            ),
+            kind="signatures",
+        )
     pairs = None
     for band in bands:
         left = keyed.select(F.col(id_col).alias("doc_a"), F.col(band).alias("bk"))

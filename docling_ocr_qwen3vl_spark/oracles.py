@@ -266,12 +266,15 @@ m AS (
                    i -> array_to_string(ws[i:i+1], ' ')) AS grams
   FROM docs
 ),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM m),
+t AS (
+  SELECT doc_id, CAST(max(cnt) AS DOUBLE) AS top_cnt
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
 m2 AS (
-  SELECT *,
-    CAST(list_max(list_transform(list_distinct(grams),
-                                 g -> len(list_filter(grams, x -> x = g))))
-         AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS top_gram_fraction
-  FROM m
+  SELECT m.*, t.top_cnt / CAST(len(m.grams) AS DOUBLE) AS top_gram_fraction
+  FROM m JOIN t USING (doc_id)
 )
 SELECT doc_id,
   (n >= 5 AND n <= 100000) AS ok_word_count,

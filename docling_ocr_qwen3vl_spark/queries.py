@@ -481,16 +481,33 @@ def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boilerplate text exact-line dedup misses.  slice() clamps at the
     # array end (ANSI-safe for 1-word docs); the rule only applies from
     # the word-count floor up (tiny docs degenerate to fraction 1.0).
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n.cast("int") - 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(F.col("ws"), i, 2), " "),
-    )
-    top_gram_fraction = F.array_max(
+    # Mode count = longest equal run over the SORTED gram array: one
+    # O(n log n) sort + one O(n) fold, not the O(distinct x n) nested
+    # filter (ok_word_count admits 100k-word docs — a quadratic
+    # interpreted scan would stall an executor for minutes on one row).
+    grams = F.array_sort(
         F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+            F.sequence(F.lit(1), F.greatest(n.cast("int") - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(F.col("ws"), i, 2), " "),
         )
-    ).cast("double") / F.size(grams).cast("double")
+    )
+    run_state = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_gram_fraction = run_state["best"].cast("double") / F.size(grams).cast(
+        "double"
+    )
     ok_words = (n >= 5) & (n <= 100000)
     ok_mean = (mean_len >= 2.0) & (mean_len <= 12.0)
     ok_symbols = symbol_ratio <= 0.1

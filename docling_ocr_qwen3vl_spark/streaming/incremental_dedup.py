@@ -9,16 +9,22 @@ runs, per micro-batch via ``foreachBatch``:
   1. in-batch dedup: fast MinHash (k/bands from ExtractConfig) -> banded
      candidate pairs -> min-label components -> component representatives
      (the same operators the batch sweep uses — one code path);
-  2. cross-batch dedup: anti-join the representatives' band keys against
-     the store — any collision with a previously accepted document drops
-     the newcomer (LSH-candidate collision semantics, the recall knob is
-     (k, n_bands); a production pipeline can append an n-gram-Jaccard
-     verify stage before the drop, exactly as the batch path does);
-  3. exactly-once outputs: survivors AND their band keys are written to
-     per-batch-id directories with overwrite (same idempotent-retry
-     argument as stream.write_batch_idempotent); the store lookup in step
-     2 EXCLUDES the current batch_id partition, so a retried batch never
-     collides with its own partial previous attempt.
+  2. cross-batch dedup: join ALL batch docs' band keys against the store;
+     a collision contaminates the doc's whole in-batch COMPONENT (not
+     just the colliding member — band collision is not transitive, and
+     global connected components flow through dropped docs too), so the
+     component's representative is dropped with it.  LSH-candidate
+     collision semantics; the recall knob is (k, n_bands), and a
+     production pipeline can append an n-gram-Jaccard verify stage before
+     the drop, exactly as the batch path does;
+  3. exactly-once outputs: survivors AND the batch's band keys are
+     written to per-batch-id directories with overwrite (the
+     stream.write_batch_idempotent pattern); the store lookup in step 2
+     EXCLUDES the current batch_id partition, so a retried batch never
+     collides with its own partial previous attempt.  The store delta
+     carries EVERY seen doc's keys — dropped docs included — because
+     global-dedup connectivity flows through dropped docs (a future doc
+     near a dropped one belongs to the same component).
 
 At 10^12 docs the store is the only growing state and it is band keys
 only; the lookup is a broadcast-able (or bucketed) equi-join on the band
@@ -89,8 +95,13 @@ def dedup_batch(
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch through in-batch + cross-batch dedup.
 
-    Returns (survivors, survivor_band_keys) — both still lazy; the caller
-    owns materialization (and therefore the cache scope)."""
+    Returns (survivors, batch_band_keys).  NOT lazy: the component step
+    runs Spark jobs during this call (dup_components' fixpoint loop), and
+    the signature projection is registered in the shared cache registry —
+    call inside ``scoped_caches()`` (as start_incremental_dedup_stream
+    does) or release via ``release_caches`` once the outputs are written.
+    ``batch_band_keys`` covers EVERY batch doc — survivors and dropped —
+    because global-dedup connectivity flows through dropped docs."""
     from pyspark import StorageLevel
 
     from ..operators.caching import register_cache
@@ -100,8 +111,9 @@ def dedup_batch(
         batch_df, k=cfg.minhash_k, n_bands=cfg.minhash_bands
     )
     # one cache boundary right after the UDF: every consumer below (pair
-    # join, melt, survivor anti-joins) reads the slim (id, bands)
-    # projection — the signature kernel runs ONCE per batch
+    # join, melt, contamination joins) reads the slim (id, bands)
+    # projection — the signature kernel runs ONCE per batch, and
+    # lsh_candidate_pairs reuses this cache instead of re-persisting
     slim = register_cache(
         sigs.select("doc_id", *_band_cols(sigs)).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -111,13 +123,25 @@ def dedup_batch(
     pairs = lsh_candidate_pairs(slim)
     comps = dup_components(batch_df.select("doc_id"), pairs)
     reps = comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
-    keys = melt_band_keys(slim).join(reps, "doc_id")  # representatives only
-    # cross-batch: any band collision with the store drops the doc
-    contaminated = keys.join(store, "band_key").select("doc_id").distinct()
-    survivor_ids = reps.join(contaminated, "doc_id", "left_anti")
+    all_keys = melt_band_keys(slim)
+    # cross-batch: a store collision on ANY member contaminates the whole
+    # component (collision is not transitive; see module docstring)
+    contaminated_comps = (
+        all_keys.join(store, "band_key")
+        .select("doc_id")
+        .distinct()
+        .join(comps, "doc_id")
+        .select("component")
+        .distinct()
+    )
+    survivor_ids = reps.join(
+        contaminated_comps,
+        reps["doc_id"] == contaminated_comps["component"],
+        "left_anti",
+    ).select("doc_id")
     survivors = batch_df.join(survivor_ids, "doc_id")
-    survivor_keys = keys.join(survivor_ids, "doc_id").select("band_key").distinct()
-    return survivors, survivor_keys
+    batch_keys = all_keys.select("band_key").distinct()
+    return survivors, batch_keys
 
 
 def start_incremental_dedup_stream(
@@ -136,18 +160,16 @@ def start_incremental_dedup_stream(
     batch id."""
     cfg = config or ExtractConfig()
 
+    from .stream import write_batch_idempotent
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         store = read_signature_store(spark, store_dir, exclude_batch_id=batch_id)
         with scoped_caches():
             survivors, keys = dedup_batch(batch_df, store, cfg)
-            survivors.write.mode("overwrite").parquet(
-                os.path.join(survivors_dir, f"batch_id={batch_id}")
-            )
-            keys.write.mode("overwrite").parquet(
-                os.path.join(store_dir, f"batch_id={batch_id}")
-            )
+            write_batch_idempotent(survivors, survivors_dir, batch_id)
+            write_batch_idempotent(keys, store_dir, batch_id)
 
     writer = (
         stream_documents(spark, input_dir, max_files_per_trigger)

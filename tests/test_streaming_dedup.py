@@ -14,6 +14,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from docling_ocr_qwen3vl_spark.operators.caching import scoped_caches
 from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
     dedup_batch,
     melt_band_keys,
@@ -126,15 +127,17 @@ def test_retry_excludes_own_partial_store_write(spark, dirs):
         [(1, BASE, "en", "s", len(BASE))],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    _, keys = dedup_batch(df, read_signature_store(spark, dirs["store"]))
-    keys.write.mode("overwrite").parquet(
-        os.path.join(dirs["store"], "batch_id=7")
-    )
+    with scoped_caches():
+        _, keys = dedup_batch(df, read_signature_store(spark, dirs["store"]))
+        keys.write.mode("overwrite").parquet(
+            os.path.join(dirs["store"], "batch_id=7")
+        )
     # the retry of batch 7 sees a store WITHOUT its own partial keys
     store_for_retry = read_signature_store(spark, dirs["store"], exclude_batch_id=7)
     assert store_for_retry.count() == 0
-    survivors, _ = dedup_batch(df, store_for_retry)
-    assert [r.doc_id for r in survivors.collect()] == [1]
+    with scoped_caches():
+        survivors, _ = dedup_batch(df, store_for_retry)
+        assert [r.doc_id for r in survivors.collect()] == [1]
     # but a DIFFERENT batch does see those keys
     store_for_next = read_signature_store(spark, dirs["store"], exclude_batch_id=8)
     assert store_for_next.count() > 0
@@ -146,3 +149,29 @@ def test_melt_band_keys_shape(spark):
     )
     got = {(r.doc_id, r.band_key) for r in melt_band_keys(sigs).collect()}
     assert got == {(1, "0:aa"), (1, "1:bb")}
+
+
+def test_transitive_chain_contaminates_whole_component(spark):
+    """Band collision is not transitive: Y shares a band with X but none
+    with accepted A, while X shares one with A.  Global dedup connects
+    Y~X~A into one component, so BOTH X and Y must drop — a
+    representatives-only store check would accept Y (it is the component
+    rep: min doc_id).  Fixture overlaps verified at k=8/2 bands:
+    X∩A=1, Y∩X=1, Y∩A=0 band keys."""
+    X = BASE + " zz qq"
+    Y = BASE.replace("winter", "summer") + " zz qq"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    with scoped_caches():
+        # batch 1 accepts A; its band keys become the store
+        _, keys_a = dedup_batch(mk([(1, BASE)]), read_signature_store(spark, "/nonexistent"))
+        store = keys_a.localCheckpoint(eager=True)
+    with scoped_caches():
+        # Y gets the smaller id -> Y is the component representative
+        survivors, _ = dedup_batch(mk([(10, Y), (11, X)]), store)
+        assert survivors.count() == 0  # the whole chain is a duplicate of A
