@@ -64,14 +64,16 @@ def scoped_caches() -> Iterator[None]:
     Entry membership is tracked by IDENTITY, not list position: a
     kind-filtered ``release_caches`` inside the scope may remove entries
     registered BEFORE it, which would shift a positional mark and let
-    inner entries escape the scope."""
-    before = {id(df) for _, df in _LIVE_CACHES}
+    inner entries escape the scope.  The snapshot holds REFERENCES (not
+    bare id() ints) so a pre-entry object released and garbage-collected
+    mid-scope cannot donate its recycled address to an inner entry."""
+    before = [df for _, df in _LIVE_CACHES]
     try:
         yield
     finally:
         keep = []
         for k, df in _LIVE_CACHES:
-            if id(df) in before:
+            if any(df is b for b in before):
                 keep.append((k, df))
             else:
                 df.unpersist(blocking=False)

@@ -243,6 +243,13 @@ def release_signature_caches() -> None:
     release_caches("signatures")
 
 
+def band_cols(df: DataFrame) -> list[str]:
+    """The LSH band-key columns of a signature table (band0, band1, ...).
+    THE single definition of the column contract — the streaming dedup's
+    melt and the pair join below must agree on it."""
+    return [c for c in df.columns if re.fullmatch(r"band\d+", c)]
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct candidate pairs sharing at least one LSH band.
 
@@ -260,7 +267,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     """
     from pyspark import StorageLevel
 
-    bands = [c for c in signatures.columns if re.fullmatch(r"band\d+", c)]
+    bands = band_cols(signatures)
     if not bands:
         raise ValueError("signature table has no bandN columns")
     lvl = signatures.storageLevel

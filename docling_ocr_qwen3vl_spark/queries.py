@@ -505,9 +505,12 @@ def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("best"),
         ),
     )
-    top_gram_fraction = run_state["best"].cast("double") / F.size(grams).cast(
-        "double"
-    )
+    # denominator = gram count, known without touching the (expensive,
+    # interpreted) grams expression a second time: size(grams) would
+    # re-embed the whole sort+transform in the projection
+    top_gram_fraction = run_state["best"].cast("double") / F.greatest(
+        n.cast("int") - 1, F.lit(1)
+    ).cast("double")
     ok_words = (n >= 5) & (n <= 100000)
     ok_mean = (mean_len >= 2.0) & (mean_len <= 12.0)
     ok_symbols = symbol_ratio <= 0.1

@@ -43,6 +43,7 @@ from pyspark.sql.utils import AnalysisException
 from ..config import ExtractConfig
 from ..operators.caching import scoped_caches
 from ..operators.dedup import (
+    band_cols,
     dup_components,
     lsh_candidate_pairs,
     minhash_signature_fast,
@@ -50,18 +51,13 @@ from ..operators.dedup import (
 from .stream import stream_documents
 
 STORE_SCHEMA = "band_key string"
-
-
-def _band_cols(df: DataFrame) -> list[str]:
-    import re
-
-    return [c for c in df.columns if re.fullmatch(r"band\d+", c)]
+STORE_CONFIG_FILE = "_dedup_config.json"
 
 
 def melt_band_keys(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, band0..bandN) -> (id, band_key) long form, band index baked
     into the key so band0 collisions never match band1 keys."""
-    bands = _band_cols(signatures)
+    bands = band_cols(signatures)
     return signatures.select(
         id_col,
         F.posexplode(F.array(*[F.col(b) for b in bands])).alias("bi", "bk"),
@@ -78,14 +74,56 @@ def read_signature_store(
 ) -> DataFrame:
     """The accepted-document band keys, as (band_key).  ``exclude_batch_id``
     prunes the current batch's own partition — a retried batch must not
-    collide with its own failed attempt's partial write."""
+    collide with its own failed attempt's partial write.
+
+    ONLY a missing path reads as the legitimate empty first-batch store;
+    any other analysis failure (corrupt partitions, a non-parquet file at
+    store_dir, schema drift) propagates — swallowing it would silently
+    disable cross-batch dedup for every subsequent batch."""
     try:
         store = spark.read.parquet(store_dir)
-    except AnalysisException:
-        return spark.createDataFrame([], STORE_SCHEMA)
+    except AnalysisException as exc:
+        # PATH_NOT_FOUND: no store yet; UNABLE_TO_INFER_SCHEMA: the dir
+        # holds only the _dedup_config.json stamp (underscore files are
+        # invisible to the parquet reader) — both are the first-batch case
+        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            return spark.createDataFrame([], STORE_SCHEMA)
+        raise
+    if "band_key" not in store.columns:  # parquet, but not a signature store
+        raise ValueError(
+            f"{store_dir} is not a signature store (no band_key column)"
+        )
     if "batch_id" in store.columns and exclude_batch_id is not None:
         store = store.filter(F.col("batch_id") != exclude_batch_id)
     return store.select("band_key")
+
+
+def _check_store_config(store_dir: str, cfg: ExtractConfig) -> None:
+    """Stamp (minhash_k, minhash_bands) into the store dir on first use and
+    fail LOUDLY on mismatch thereafter: keys from a different (k, bands)
+    can never collide with the stored ones, so a silent config change
+    would re-admit every previously-seen near-duplicate."""
+    import json
+
+    expected = {"minhash_k": cfg.minhash_k, "minhash_bands": cfg.minhash_bands}
+    path = os.path.join(store_dir, STORE_CONFIG_FILE)
+    if os.path.exists(path):
+        with open(path) as fh:
+            found = json.load(fh)
+        if found != expected:
+            raise ValueError(
+                f"signature store at {store_dir} was built with {found}; "
+                f"this stream is configured with {expected} — their band "
+                "keys are incompatible and every stored doc would be "
+                "forgotten. Use a fresh store_dir (full re-dedup) or the "
+                "original config."
+            )
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(expected, fh)
+    os.replace(tmp, path)  # atomic: pollers never see a truncated stamp
 
 
 def dedup_batch(
@@ -115,7 +153,7 @@ def dedup_batch(
     # projection — the signature kernel runs ONCE per batch, and
     # lsh_candidate_pairs reuses this cache instead of re-persisting
     slim = register_cache(
-        sigs.select("doc_id", *_band_cols(sigs)).persist(
+        sigs.select("doc_id", *band_cols(sigs)).persist(
             StorageLevel.MEMORY_AND_DISK
         ),
         kind="signatures",
@@ -157,8 +195,11 @@ def start_incremental_dedup_stream(
     """Streaming dedup: survivors land in ``survivors_dir/batch_id=N``,
     their band keys in ``store_dir/batch_id=N`` — both overwritten on
     retry (exactly-once), with the store lookup excluding the current
-    batch id."""
+    batch id.  The store is config-stamped: restarting against an
+    existing store with different (k, bands) fails loudly instead of
+    silently forgetting every ingested document."""
     cfg = config or ExtractConfig()
+    _check_store_config(store_dir, cfg)
 
     from .stream import write_batch_idempotent
 

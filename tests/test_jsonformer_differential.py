@@ -388,7 +388,7 @@ _root = st.one_of(
 
 @settings(max_examples=40, deadline=None)
 @given(schema=_root)
-def test_differential_randomized_schemas(ref_mod_cached, schema):
+def test_differential_randomized_schemas(ref_mod, schema):
     """Randomized schema trees over a reactive brain: the reference
     VLMJsonformer and JsonformerWalk must produce identical outputs AND
     identical prefix streams for EVERY schema shape — object/array
@@ -400,7 +400,7 @@ def test_differential_randomized_schemas(ref_mod_cached, schema):
     vocab.id_for("<pad>")
     processor = RefProcessor(brain_ref, vocab)
     model = RefModel(brain_ref, vocab, processor)
-    ref_out = ref_mod_cached.VLMJsonformer(
+    ref_out = ref_mod.VLMJsonformer(
         model, processor, schema, "extract", image=object()
     )()
 
@@ -410,9 +410,3 @@ def test_differential_randomized_schemas(ref_mod_cached, schema):
     assert ref_out == mine_out
     assert brain_ref.prefixes_seen == brain_mine.prefixes_seen
 
-
-@pytest.fixture(scope="module")
-def ref_mod_cached(ref_mod):
-    # hypothesis forbids function-scoped fixtures; alias the module-scoped
-    # reference module under a name the @given test can take
-    return ref_mod

@@ -175,3 +175,36 @@ def test_transitive_chain_contaminates_whole_component(spark):
         # Y gets the smaller id -> Y is the component representative
         survivors, _ = dedup_batch(mk([(10, Y), (11, X)]), store)
         assert survivors.count() == 0  # the whole chain is a duplicate of A
+
+
+def test_store_config_stamp_blocks_mismatched_restart(tmp_path):
+    from docling_ocr_qwen3vl_spark.config import ExtractConfig
+    from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        _check_store_config,
+    )
+
+    store = str(tmp_path / "store")
+    _check_store_config(store, ExtractConfig(minhash_k=8, minhash_bands=2))
+    # same config: idempotent
+    _check_store_config(store, ExtractConfig(minhash_k=8, minhash_bands=2))
+    # different (k, bands): the stored band keys can never match -> loud
+    with pytest.raises(ValueError, match="incompatible"):
+        _check_store_config(store, ExtractConfig(minhash_k=64, minhash_bands=8))
+
+
+def test_store_read_failure_is_not_swallowed(spark, tmp_path):
+    """Only a missing path (or a stamp-only dir) reads as the empty first
+    store; a corrupt/non-parquet store_dir must raise, not silently
+    disable cross-batch dedup."""
+    bad = tmp_path / "store"
+    bad.mkdir()
+    (bad / "part-0000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        read_signature_store(spark, str(bad)).collect()
+    # missing path -> empty store (the legitimate first-batch case)
+    empty = read_signature_store(spark, str(tmp_path / "missing"))
+    assert empty.count() == 0
+    # a parquet dir that is not a signature store -> loud
+    spark.range(3).write.parquet(str(tmp_path / "wrong"))
+    with pytest.raises(ValueError, match="not a signature store"):
+        read_signature_store(spark, str(tmp_path / "wrong"))
