@@ -81,3 +81,52 @@ def start_extraction_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+INTERLEAVED_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def stream_interleaved(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream of the input_hint's canonical table shape:
+    (doc_id, spans[]) interleaved text+media documents."""
+    return (
+        spark.readStream.schema(INTERLEAVED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def start_interleaved_extraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental extraction over the interleaved INPUT shape (the
+    north-rule input_hint): each micro-batch of newly-arrived
+    (doc_id, spans[]) documents runs the same batch plan
+    ``extract_spans_from_interleaved`` uses — media spans keep their
+    pre-resolved identities, raw payload spans decode — with the identical
+    exactly-once contract as start_extraction_stream."""
+    from ..plans.pipeline import extract_spans_from_interleaved
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = extract_spans_from_interleaved(spark, batch_df)
+        write_batch_idempotent(spans, output_dir, batch_id)
+
+    writer = (
+        stream_interleaved(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
