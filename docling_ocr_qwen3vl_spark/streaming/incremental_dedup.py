@@ -85,8 +85,20 @@ def read_signature_store(
     except AnalysisException as exc:
         # PATH_NOT_FOUND: no store yet; UNABLE_TO_INFER_SCHEMA: the dir
         # holds only the _dedup_config.json stamp (underscore files are
-        # invisible to the parquet reader) — both are the first-batch case
-        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+        # invisible to the parquet reader) — both are the first-batch case.
+        # Matched by ERROR CLASS (getCondition is the 4.x name, with the
+        # deprecated getErrorClass and a message-substring fallback for
+        # older captured exceptions) — message formats change across Spark
+        # releases; the class names are the stable contract.
+        getter = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        condition = getter() if getter is not None else None
+        first_batch = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+        if condition in first_batch or (
+            condition is None
+            and any(c in str(exc) for c in first_batch)
+        ):
             return spark.createDataFrame([], STORE_SCHEMA)
         raise
     if "band_key" not in store.columns:  # parquet, but not a signature store
@@ -98,18 +110,37 @@ def read_signature_store(
     return store.select("band_key")
 
 
-def _check_store_config(store_dir: str, cfg: ExtractConfig) -> None:
+def _check_store_config(spark: SparkSession, store_dir: str, cfg: ExtractConfig) -> None:
     """Stamp (minhash_k, minhash_bands) into the store dir on first use and
     fail LOUDLY on mismatch thereafter: keys from a different (k, bands)
     can never collide with the stored ones, so a silent config change
-    would re-admit every previously-seen near-duplicate."""
+    would re-admit every previously-seen near-duplicate.
+
+    Goes through the Hadoop FileSystem API (not os.path), so the guard
+    holds for hdfs://, s3a:// and every other FS Spark itself can read —
+    a local-only check would silently no-op exactly on the production
+    deployments it exists for.  The stamp is created with overwrite=False:
+    an EXCLUSIVE create, so two streams racing to stamp a fresh store
+    cannot both win (the loser re-reads and validates)."""
     import json
 
     expected = {"minhash_k": cfg.minhash_k, "minhash_bands": cfg.minhash_bands}
-    path = os.path.join(store_dir, STORE_CONFIG_FILE)
-    if os.path.exists(path):
-        with open(path) as fh:
-            found = json.load(fh)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    stamp = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(store_dir, STORE_CONFIG_FILE)
+    )
+    fs = stamp.getFileSystem(hconf)
+
+    def read_stamp() -> dict:
+        stream = fs.open(stamp)
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(raw)
+
+    def validate(found: dict) -> None:
         if found != expected:
             raise ValueError(
                 f"signature store at {store_dir} was built with {found}; "
@@ -118,12 +149,36 @@ def _check_store_config(store_dir: str, cfg: ExtractConfig) -> None:
                 "forgotten. Use a fresh store_dir (full re-dedup) or the "
                 "original config."
             )
+
+    if fs.exists(stamp):
+        validate(read_stamp())
         return
-    os.makedirs(store_dir, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(expected, fh)
-    os.replace(tmp, path)  # atomic: pollers never see a truncated stamp
+    # no stamp: refuse to ADOPT a store that already holds data — an
+    # unstamped-but-populated dir predates the guard (or lost its stamp),
+    # and assuming the current config would defeat the whole check
+    existing = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, "batch_id=*"))
+    )
+    if existing is not None and len(existing) > 0:
+        raise ValueError(
+            f"signature store at {store_dir} holds batch data but no "
+            f"{STORE_CONFIG_FILE} stamp; refusing to guess its (k, bands). "
+            "Write the stamp matching the config that built it, or start a "
+            "fresh store_dir."
+        )
+    try:
+        out = fs.create(stamp, False)  # overwrite=False -> exclusive
+        try:
+            out.write(bytearray(json.dumps(expected).encode()))
+        finally:
+            out.close()
+    except Exception:
+        # lost the create race (or a concurrent stamp landed): the winner's
+        # stamp is authoritative — validate against it
+        if fs.exists(stamp):
+            validate(read_stamp())
+            return
+        raise
 
 
 def dedup_batch(
@@ -199,9 +254,9 @@ def start_incremental_dedup_stream(
     existing store with different (k, bands) fails loudly instead of
     silently forgetting every ingested document."""
     cfg = config or ExtractConfig()
-    _check_store_config(store_dir, cfg)
+    _check_store_config(spark, store_dir, cfg)
 
-    from .stream import write_batch_idempotent
+    from .stream import start_foreach_batch_stream, write_batch_idempotent
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -212,11 +267,7 @@ def start_incremental_dedup_stream(
             write_batch_idempotent(survivors, survivors_dir, batch_id)
             write_batch_idempotent(keys, store_dir, batch_id)
 
-    writer = (
-        stream_documents(spark, input_dir, max_files_per_trigger)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return start_foreach_batch_stream(
+        stream_documents(spark, input_dir, max_files_per_trigger),
+        process_batch, checkpoint_dir, available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -28,15 +28,40 @@ DOCUMENTS_SCHEMA = (
 )
 
 
+def _stream_parquet(
+    spark: SparkSession, schema: str, input_dir: str, max_files_per_trigger: int
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def start_foreach_batch_stream(
+    source: DataFrame,
+    process_batch,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The ONE exactly-once wiring every streaming surface shares:
+    foreachBatch over ``source`` with Spark's streaming checkpoint;
+    ``process_batch(batch_df, batch_id)`` owns the idempotent sink (see
+    write_batch_idempotent).  Shared so the trigger/checkpoint contract
+    cannot drift between the document, interleaved, and dedup streams."""
+    writer = source.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_documents(
     spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
     """File-source stream of document parquet drops."""
-    return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    return _stream_parquet(spark, DOCUMENTS_SCHEMA, input_dir, max_files_per_trigger)
 
 
 def write_batch_idempotent(spans: DataFrame, output_dir: str, batch_id: int) -> None:
@@ -73,14 +98,10 @@ def start_extraction_stream(
         spans = extract_spans(spark, sf_dir="", documents=batch_df)
         write_batch_idempotent(spans, output_dir, batch_id)
 
-    writer = (
-        stream_documents(spark, input_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return start_foreach_batch_stream(
+        stream_documents(spark, input_dir), process_batch, checkpoint_dir,
+        available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 INTERLEAVED_SCHEMA = (
@@ -94,11 +115,7 @@ def stream_interleaved(
 ) -> DataFrame:
     """File-source stream of the input_hint's canonical table shape:
     (doc_id, spans[]) interleaved text+media documents."""
-    return (
-        spark.readStream.schema(INTERLEAVED_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    return _stream_parquet(spark, INTERLEAVED_SCHEMA, input_dir, max_files_per_trigger)
 
 
 def start_interleaved_extraction_stream(
@@ -122,11 +139,7 @@ def start_interleaved_extraction_stream(
         spans = extract_spans_from_interleaved(spark, batch_df)
         write_batch_idempotent(spans, output_dir, batch_id)
 
-    writer = (
-        stream_interleaved(spark, input_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return start_foreach_batch_stream(
+        stream_interleaved(spark, input_dir), process_batch, checkpoint_dir,
+        available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

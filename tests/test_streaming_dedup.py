@@ -177,19 +177,31 @@ def test_transitive_chain_contaminates_whole_component(spark):
         assert survivors.count() == 0  # the whole chain is a duplicate of A
 
 
-def test_store_config_stamp_blocks_mismatched_restart(tmp_path):
+def test_store_config_stamp_blocks_mismatched_restart(spark, tmp_path):
     from docling_ocr_qwen3vl_spark.config import ExtractConfig
     from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
         _check_store_config,
     )
 
     store = str(tmp_path / "store")
-    _check_store_config(store, ExtractConfig(minhash_k=8, minhash_bands=2))
+    _check_store_config(spark, store, ExtractConfig(minhash_k=8, minhash_bands=2))
     # same config: idempotent
-    _check_store_config(store, ExtractConfig(minhash_k=8, minhash_bands=2))
+    _check_store_config(spark, store, ExtractConfig(minhash_k=8, minhash_bands=2))
     # different (k, bands): the stored band keys can never match -> loud
     with pytest.raises(ValueError, match="incompatible"):
-        _check_store_config(store, ExtractConfig(minhash_k=64, minhash_bands=8))
+        _check_store_config(
+            spark, store, ExtractConfig(minhash_k=64, minhash_bands=8)
+        )
+
+    # an UNSTAMPED store that already holds batch data is never silently
+    # adopted under the current config
+    legacy = tmp_path / "legacy_store"
+    (legacy / "batch_id=0").mkdir(parents=True)
+    (legacy / "batch_id=0" / "part-0.parquet").write_text("x")
+    with pytest.raises(ValueError, match="no _dedup_config.json"):
+        _check_store_config(
+            spark, str(legacy), ExtractConfig(minhash_k=8, minhash_bands=2)
+        )
 
 
 def test_store_read_failure_is_not_swallowed(spark, tmp_path):
