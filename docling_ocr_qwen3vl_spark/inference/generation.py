@@ -180,12 +180,23 @@ def run_vlm_inference_batch(
     # chunk.  Left padding (the documented Qwen batch-inference setting)
     # keeps all prompts flush with the generation boundary; the common
     # input_len slice below is then correct for every row.
+    # Set-and-RESTORE around the one call that needs it: the processor's
+    # tokenizer is shared process-wide (M1 singleton), and a permanent
+    # padding_side mutation would silently change every other consumer's
+    # default for the rest of the worker's life.
     tokenizer = getattr(processor, "tokenizer", None)
+    prev_padding_side = None
     if tokenizer is not None and hasattr(tokenizer, "padding_side"):
+        prev_padding_side = tokenizer.padding_side
         tokenizer.padding_side = "left"
-    inputs = processor(
-        text=text_inputs, images=list(images), padding=True, return_tensors="pt"
-    )
+    try:
+        inputs = processor(
+            text=text_inputs, images=list(images), padding=True,
+            return_tensors="pt",
+        )
+    finally:
+        if prev_padding_side is not None:
+            tokenizer.padding_side = prev_padding_side
     inputs = inputs.to(model.device)
     if json_root is not None:
         gen_kwargs = dict(

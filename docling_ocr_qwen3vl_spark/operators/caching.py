@@ -23,12 +23,20 @@ is materialized (checkpointed / written / collected):
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-_LIVE_CACHES: list[tuple[str, DataFrame]] = []
+# (kind, df, owner_thread_id).  All registry mutation happens under _LOCK:
+# two concurrent registrants (streaming foreachBatch queries, the serve
+# worker beside a driver query) must never interleave a read-modify-write
+# of the list — a lost entry is a persisted-block leak for the session, and
+# a scope releasing a concurrent thread's still-unmaterialized cache
+# reintroduces the N-reference recompute the cache exists to prevent.
+_LIVE_CACHES: list[tuple[str, DataFrame, int]] = []
+_LOCK = threading.Lock()
 
 
 def register_cache(df: DataFrame, kind: str = "generic") -> DataFrame:
@@ -39,27 +47,36 @@ def register_cache(df: DataFrame, kind: str = "generic") -> DataFrame:
     operator's release contract cannot unpersist another operator's
     still-unmaterialized cache (and silently reintroduce its N-reference
     recompute)."""
-    _LIVE_CACHES.append((kind, df))
+    with _LOCK:
+        _LIVE_CACHES.append((kind, df, threading.get_ident()))
     return df
 
 
 def release_caches(kind: str | None = None) -> None:
-    """Unpersist live registered caches — all of them, or only ``kind``."""
-    keep = []
-    while _LIVE_CACHES:
-        k, df = _LIVE_CACHES.pop()
-        if kind is None or k == kind:
-            df.unpersist(blocking=False)
-        else:
-            keep.append((k, df))
-    _LIVE_CACHES.extend(reversed(keep))
+    """Unpersist live registered caches — all of them, or only ``kind``.
+
+    Deliberately NOT thread-scoped: this is the explicit whole-lifecycle
+    drain (bench sweeps, shutdown paths) and may release entries other
+    threads registered — callers own that contract."""
+    with _LOCK:
+        drain = [
+            (k, df) for k, df, _ in _LIVE_CACHES if kind is None or k == kind
+        ]
+        _LIVE_CACHES[:] = [
+            e for e in _LIVE_CACHES if not (kind is None or e[0] == kind)
+        ]
+    for _, df in drain:
+        df.unpersist(blocking=False)
 
 
 @contextmanager
 def scoped_caches() -> Iterator[None]:
-    """Release every cache registered inside the block on exit — including
-    on error paths.  Only caches registered AFTER entry are touched, so
-    scopes nest and never release an outer scope's still-needed cache.
+    """Release every cache THIS THREAD registered inside the block on exit
+    — including on error paths.  Only caches registered after entry, by the
+    entering thread, are touched, so scopes nest, never release an outer
+    scope's still-needed cache, and never unpersist a CONCURRENT thread's
+    cache registered mid-scope (two streaming foreachBatch workers each run
+    their own scope; neither may force the other's recompute).
 
     Entry membership is tracked by IDENTITY, not list position: a
     kind-filtered ``release_caches`` inside the scope may remove entries
@@ -67,14 +84,19 @@ def scoped_caches() -> Iterator[None]:
     inner entries escape the scope.  The snapshot holds REFERENCES (not
     bare id() ints) so a pre-entry object released and garbage-collected
     mid-scope cannot donate its recycled address to an inner entry."""
-    before = [df for _, df in _LIVE_CACHES]
+    me = threading.get_ident()
+    with _LOCK:
+        before = [df for _, df, _ in _LIVE_CACHES]
     try:
         yield
     finally:
-        keep = []
-        for k, df in _LIVE_CACHES:
-            if any(df is b for b in before):
-                keep.append((k, df))
-            else:
-                df.unpersist(blocking=False)
-        _LIVE_CACHES[:] = keep
+        with _LOCK:
+            keep, drop = [], []
+            for k, df, tid in _LIVE_CACHES:
+                if tid == me and not any(df is b for b in before):
+                    drop.append(df)
+                else:
+                    keep.append((k, df, tid))
+            _LIVE_CACHES[:] = keep
+        for df in drop:
+            df.unpersist(blocking=False)

@@ -179,6 +179,13 @@ def _check_store_config(spark: SparkSession, store_dir: str, cfg: ExtractConfig)
             validate(read_stamp())
             return
         raise
+    # On HDFS the exclusive create settles the race by itself; on object
+    # stores (s3a) the existence probe inside create() is NOT atomic with
+    # the write, so two racing streams can both believe they stamped a
+    # fresh store.  Re-read and validate: last-writer-wins is detectable,
+    # and the loser of a non-atomic race fails loudly here instead of
+    # running with silently incompatible band keys.
+    validate(read_stamp())
 
 
 def dedup_batch(

@@ -32,7 +32,7 @@ def test_scoped_caches_releases_only_inner_entries(spark):
         assert inner.storageLevel.useMemory
     # inner released, outer untouched
     assert not inner.storageLevel.useMemory
-    assert [df for _, df in _LIVE_CACHES] == [outer]
+    assert [df for _, df, _ in _LIVE_CACHES] == [outer]
     release_caches()
     assert not _LIVE_CACHES and not outer.storageLevel.useMemory
 
@@ -44,14 +44,16 @@ def test_scoped_caches_releases_on_error():
         def unpersist(self, blocking=False):
             self.released = True
 
+    import threading
+
     fake = Fake()
     try:
         with scoped_caches():
-            _LIVE_CACHES.append(("generic", fake))
+            _LIVE_CACHES.append(("generic", fake, threading.get_ident()))
             raise RuntimeError("boom")
     except RuntimeError:
         pass
-    assert fake.released and all(df is not fake for _, df in _LIVE_CACHES)
+    assert fake.released and all(df is not fake for _, df, _ in _LIVE_CACHES)
 
 
 def test_lsh_candidate_pairs_cache_released_by_query_wrapper(spark, tmp_path):
@@ -106,14 +108,58 @@ def test_release_by_kind_leaves_other_kinds_live():
         def unpersist(self, blocking=False):
             self.released = True
 
+    import threading
+
+    me = threading.get_ident()
     sig, bucket = Fake(), Fake()
-    _LIVE_CACHES.append(("signatures", sig))
-    _LIVE_CACHES.append(("buckets", bucket))
+    _LIVE_CACHES.append(("signatures", sig, me))
+    _LIVE_CACHES.append(("buckets", bucket, me))
     try:
         release_signature_caches()
         assert sig.released and not bucket.released
-        assert ("buckets", bucket) in _LIVE_CACHES
-        assert ("signatures", sig) not in _LIVE_CACHES
+        assert any(df is bucket for _, df, _ in _LIVE_CACHES)
+        assert all(df is not sig for _, df, _ in _LIVE_CACHES)
     finally:
         release_caches()
     assert bucket.released and not _LIVE_CACHES
+
+
+def test_scoped_caches_ignores_concurrent_threads_entries():
+    """Two concurrent scopes (streaming foreachBatch workers, the serve
+    worker beside a driver query) must not release each other's caches: a
+    scope exit may only unpersist entries ITS OWN thread registered inside
+    the scope, and must keep (not drop) a concurrent registrant's entry."""
+    import threading
+
+    class Fake:
+        def __init__(self):
+            self.released = False
+
+        def unpersist(self, blocking=False):
+            self.released = True
+
+    mine, theirs = Fake(), Fake()
+    registered = threading.Event()
+    proceed = threading.Event()
+
+    def other_thread():
+        register_cache(theirs, kind="generic")
+        registered.set()
+        proceed.wait(10)
+
+    t = threading.Thread(target=other_thread)
+    try:
+        with scoped_caches():
+            register_cache(mine, kind="generic")
+            t.start()
+            assert registered.wait(10)
+        # my entry released; the concurrent thread's mid-scope entry is
+        # neither unpersisted nor dropped from the registry
+        assert mine.released
+        assert not theirs.released
+        assert any(df is theirs for _, df, _ in _LIVE_CACHES)
+    finally:
+        proceed.set()
+        t.join(10)
+        release_caches()
+    assert theirs.released and not _LIVE_CACHES

@@ -64,6 +64,8 @@ class FakeProcessor:
 
     def __call__(self, *, text, images, padding, return_tensors):
         self.calls.append(("process", text, images, padding, return_tensors))
+        tok = getattr(self, "tokenizer", None)
+        self.padding_side_at_call = getattr(tok, "padding_side", None)
         self.last_text = text[0]
         self.model.next_n = len(text)  # batch size flows to generate()
         return FakeInputs(input_ids=FakeIds(5), pixel_values="px")
@@ -483,7 +485,9 @@ def test_batched_generate_sets_left_padding(decoder_env):
     """Ragged micro-batches need LEFT padding (Qwen batch-inference
     setting): right padding would insert pad tokens between a shorter
     prompt and its continuation.  run_vlm_inference_batch must flip the
-    tokenizer before the batched processor call."""
+    tokenizer for the batched processor call — and RESTORE the previous
+    side afterwards (the tokenizer is the process-wide singleton's; a
+    permanent mutation would leak into every other consumer)."""
     dec, model, processor = decoder_env
     processor.tokenizer = JfTokenizer([], vocab={})
     assert processor.tokenizer.padding_side == "right"
@@ -492,4 +496,5 @@ def test_batched_generate_sets_left_padding(decoder_env):
 
     dec.decode_batch([("plain_text", object()), ("plain_text", object())])
 
-    assert processor.tokenizer.padding_side == "left"
+    assert processor.padding_side_at_call == "left"
+    assert processor.tokenizer.padding_side == "right"
