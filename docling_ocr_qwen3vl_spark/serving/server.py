@@ -8,8 +8,13 @@ The reference is driven through docling-serve's HTTP protocol
   GET  /v1/status/poll/{task_id}      -> {"task_status": pending|started|
                                           success|failure, ...}
   GET  /v1/result/{task_id}           -> one PAGE of the extraction result
-       (?offset=&limit=, default/max page caps) + total count + parquet
-       path for bulk readers — never a corpus-proportional body
+       (?cursor=&limit=, default/max page caps) + total count + parquet
+       path for bulk readers — never a corpus-proportional body.
+       KEYSET pagination: each response carries next_cursor (an opaque
+       token encoding the last row's (doc_id, offset)); the next request
+       passes it back.  The page plan is then a pushdown-able range
+       filter + top-K — O(page) per request — where an OFFSET page would
+       re-sort the whole result and skip O(offset) rows every fetch.
 
 This module serves the SAME protocol over ``plans/jobs.py``: submission
 allocates a lineage-backed checkpointed run; a single background worker
@@ -48,6 +53,49 @@ MAX_GROUPS = 4096
 # one knob that keeps a result fetch bounded regardless of corpus size
 DEFAULT_RESULT_LIMIT = 1000
 MAX_RESULT_LIMIT = 10_000
+# total-span-count cache bound: a long-lived serve process must not grow
+# driver state per task forever (tasks outlive their clients)
+MAX_RESULT_COUNT_CACHE = 1024
+
+
+def encode_cursor(doc_id, offset) -> str:
+    """Opaque keyset cursor: base64url of the last row's (doc_id, offset).
+    Opaque so clients cannot depend on its shape, and URL-safe so doc_ids
+    with reserved characters never need escaping."""
+    import base64
+
+    raw = json.dumps([doc_id, offset]).encode()
+    return base64.urlsafe_b64encode(raw).decode().rstrip("=")
+
+
+def decode_cursor(token: str) -> tuple:
+    import base64
+
+    pad = "=" * (-len(token) % 4)
+    doc_id, offset = json.loads(base64.urlsafe_b64decode(token + pad))
+    return doc_id, int(offset)
+
+
+def result_page(out, after: tuple | None, limit: int):
+    """One result page as a DataFrame: rows strictly after the keyset
+    cursor in global (doc_id, offset) order.  The cursor filter is a
+    pushdown-able range predicate and orderBy+limit compiles to a top-K
+    (TakeOrderedAndProject) — O(page) work per request with no OFFSET skip
+    and no global sort, which is what keeps page N as cheap as page 0."""
+    from pyspark.sql import functions as F
+
+    # 'group' is checkpoint bookkeeping (the resume key), not a span field
+    page = out.drop("group")
+    if after is not None:
+        last_doc, last_off = after
+        page = page.filter(
+            (F.col("doc_id") > F.lit(last_doc))
+            | (
+                (F.col("doc_id") == F.lit(last_doc))
+                & (F.col("offset") > F.lit(last_off))
+            )
+        )
+    return page.orderBy("doc_id", "offset").limit(limit)
 
 
 class ServeContext:
@@ -77,6 +125,11 @@ class ServeContext:
         n = out.count()
         with self._counts_lock:
             self.result_counts[task_id] = n
+            # bounded: evict oldest entries so a long-lived server's
+            # per-task state cannot grow without limit (a finished job's
+            # count is cheap to recompute if its client comes back)
+            while len(self.result_counts) > MAX_RESULT_COUNT_CACHE:
+                self.result_counts.pop(next(iter(self.result_counts)))
         return n
 
     def start(self) -> None:
@@ -189,43 +242,52 @@ class _Handler(BaseHTTPRequestHandler):
         if endpoint == "status/poll":
             self._json(200, status)
             return
-        # /v1/result — PAGINATED: a result fetch must never materialize a
-        # corpus-proportional span set on the driver (or in one HTTP body).
-        # Clients page with ?offset=&limit= over the global
-        # (doc_id, offset) order; n_spans carries the total so a client
-        # knows when it has drained the result, and out_path lets bulk
-        # consumers scan the parquet directly instead of paging over HTTP.
+        # /v1/result — KEYSET-PAGINATED: a result fetch must never
+        # materialize a corpus-proportional span set on the driver (or in
+        # one HTTP body), and a client draining N pages must pay O(page)
+        # per request, not O(offset).  Clients page with ?cursor=&limit=
+        # over the global (doc_id, offset) order: the cursor filter is a
+        # parquet-pushdown-able range predicate (row groups before the
+        # cursor prune on doc_id min/max) and orderBy+limit compiles to a
+        # top-K (TakeOrderedAndProject), never a global sort.  n_spans
+        # carries the total so a client knows when it has drained the
+        # result, and out_path lets bulk consumers scan the parquet
+        # directly instead of paging over HTTP.
         if status["task_status"] != SUCCESS:
             self._json(409, {"error": "task not finished", **status})
             return
         try:
             params = parse_qs(split.query)
-            page_offset = int(params.get("offset", ["0"])[0])
+            if "offset" in params:
+                raise ValueError(
+                    "offset pagination is not supported; pass the "
+                    "next_cursor from the previous page as ?cursor="
+                )
             page_limit = int(params.get("limit", [str(DEFAULT_RESULT_LIMIT)])[0])
-            if page_offset < 0:
-                raise ValueError("offset must be >= 0")
             if not 1 <= page_limit <= MAX_RESULT_LIMIT:
                 raise ValueError(f"limit must be in [1, {MAX_RESULT_LIMIT}]")
-        except (ValueError, TypeError) as exc:
-            self._json(400, {"error": str(exc)})
+            cursor = params.get("cursor", [None])[0]
+            after = decode_cursor(cursor) if cursor else None
+        except (ValueError, TypeError, KeyError) as exc:
+            self._json(400, {"error": f"bad paging params: {exc}"})
             return
         out = self.ctx.spark.read.parquet(job.run.out_path)
-        # 'group' is checkpoint bookkeeping (the resume key), not a span field
-        rows = (
-            out.drop("group")
-            .orderBy("doc_id", "offset")
-            .offset(page_offset)
-            .limit(page_limit)
-            .collect()
+        rows = result_page(out, after, page_limit).collect()
+        # a short page proves the result is drained; a full page may have
+        # more, so hand back the cursor for the next fetch
+        next_cursor = (
+            encode_cursor(rows[-1]["doc_id"], rows[-1]["offset"])
+            if len(rows) == page_limit
+            else None
         )
         self._json(
             200,
             {
                 "task_id": task_id,
                 "n_spans": self.ctx.total_spans(task_id, out),
-                "offset": page_offset,
                 "limit": page_limit,
                 "returned": len(rows),
+                "next_cursor": next_cursor,
                 "out_path": job.run.out_path,
                 "spans": [row.asDict() for row in rows],
             },

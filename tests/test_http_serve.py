@@ -89,26 +89,81 @@ def test_submit_poll_fetch_roundtrip(serve, spark, sf_dir):
     first = result["spans"][0]
     assert set(first) == {"doc_id", "offset", "kind", "text", "media_ref"}
 
-    # drain the full result through pages and recover every span exactly once
-    page_size, got = 500, []
-    while len(got) < expected:
-        code, page = _get(
-            f"{serve}/v1/result/{task_id}?offset={len(got)}&limit={page_size}"
-        )
-        assert code == 200 and page["returned"] == len(page["spans"]) > 0
+    # drain the full result through KEYSET pages and recover every span
+    # exactly once: each response hands back next_cursor; a short page
+    # (next_cursor null) means drained
+    page_size, got, cursor, pages = 500, [], None, 0
+    while True:
+        url = f"{serve}/v1/result/{task_id}?limit={page_size}"
+        if cursor:
+            url += f"&cursor={cursor}"
+        code, page = _get(url)
+        assert code == 200 and page["returned"] == len(page["spans"])
         assert page["returned"] <= page_size
         got.extend((s["doc_id"], s["offset"]) for s in page["spans"])
+        cursor, pages = page["next_cursor"], pages + 1
+        if cursor is None:
+            break
+    assert pages > 1  # the drain actually exercised multi-page cursors
     assert len(got) == expected == len(set(got))
     assert got == sorted(got)  # stable global (doc_id, offset) order
 
-    # past-the-end page is empty, not an error
-    code, page = _get(f"{serve}/v1/result/{task_id}?offset={expected}&limit=10")
-    assert code == 200 and page["returned"] == 0 and page["n_spans"] == expected
+    # a cursor past the last row yields an empty page, not an error
+    from docling_ocr_qwen3vl_spark.serving.server import encode_cursor
 
-    # bad paging params -> 400, not a handler crash
-    for q in ("offset=-1", "limit=0", "limit=999999", "limit=abc"):
+    last_doc, last_off = got[-1]
+    past_end = encode_cursor(last_doc, last_off)
+    code, page = _get(
+        f"{serve}/v1/result/{task_id}?cursor={past_end}&limit=10"
+    )
+    assert code == 200 and page["returned"] == 0
+    assert page["next_cursor"] is None and page["n_spans"] == expected
+
+    # bad paging params -> 400, not a handler crash; OFFSET pagination is
+    # gone (O(offset) skip per page) and must be rejected loudly
+    for q in ("offset=0", "offset=-1", "limit=0", "limit=999999",
+              "limit=abc", "cursor=!!!"):
         code, _ = _get(f"{serve}/v1/result/{task_id}?{q}")
         assert code == 400
+
+
+def test_result_page_plan_has_no_offset_and_no_global_sort(spark, tmp_path):
+    """The keyset page plan must be a pushdown-able range filter + top-K:
+    no Offset operator (O(offset) skip) and no global Sort/Exchange (whole
+    -result re-sort) anywhere in the physical plan."""
+    from docling_ocr_qwen3vl_spark.serving.server import (
+        decode_cursor,
+        encode_cursor,
+        result_page,
+    )
+    from pyspark.sql import functions as F
+
+    out_path = str(tmp_path / "spans")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("int").alias("offset"),
+        F.lit("text").alias("kind"),
+        F.lit("x").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("group"),
+    ).write.parquet(out_path)
+    out = spark.read.parquet(out_path)
+
+    cursor = decode_cursor(encode_cursor(42, 3))
+    page = result_page(out, cursor, 10)
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Offset" not in plan
+    assert "Exchange" not in plan  # top-K merges partial heaps, no shuffle
+    # the cursor predicate reaches the scan (row-group pruning on doc_id)
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+    # and the page itself is correct: strictly after (42, 3)
+    rows = [(r.doc_id, r.offset) for r in page.collect()]
+    assert rows == sorted(rows) and len(rows) == 10
+    assert all((d, o) > (42, 3) for d, o in rows)
+    assert "group" not in page.columns
 
 
 def test_protocol_errors(serve, sf_dir):
