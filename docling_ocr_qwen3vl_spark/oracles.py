@@ -858,6 +858,68 @@ FROM lbl GROUP BY id""",
 FROM lbl GROUP BY id HAVING min(l) = id""",
 )
 
+# streaming incremental dedup replayed as three deterministic micro-batches
+# (streaming/incremental_dedup.py semantics, declaratively): batch =
+# doc_num % 3 (each original's mutant lands in batch (doc+1) % 3, so planted
+# near-dup pairs span micro-batches); per batch, in-batch components over
+# the fast-kernel banded pair graph RESTRICTED to same-batch edges; then a
+# component whose ANY member shares a band key with ANY earlier-batch doc
+# (accepted OR dropped — the store keeps every seen doc's keys) is
+# contaminated and its representative drops too.  Survivors = uncontaminated
+# in-batch representatives.
+STREAMING_DEDUP_SURVIVORS_SQL = (
+    "WITH RECURSIVE " + _MUTANT_DOCS_CTE + "," + _FAST_BANDED_CORE + """,
+fb AS (SELECT fbanded.*, doc_id % 3 AS batch FROM fbanded),
+keys AS (
+  SELECT DISTINCT doc_id, batch, band_key FROM (
+"""
+    + "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, batch, '{b}:' || band{b} AS band_key FROM fb"
+        for b in range(8)
+    )
+    + """
+  ) t
+),
+prs AS (
+  SELECT DISTINCT k1.doc_id AS doc_a, k2.doc_id AS doc_b
+  FROM keys k1 JOIN keys k2
+    ON k1.band_key = k2.band_key AND k1.batch = k2.batch
+   AND k1.doc_id < k2.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+lbl(id, l) AS (
+  SELECT doc_num, doc_num FROM docs
+  UNION
+  SELECT e.dst, lbl.l FROM lbl JOIN edges e ON e.src = lbl.id
+),
+comp AS (SELECT id, min(l) AS component FROM lbl GROUP BY id),
+contaminated AS (
+  SELECT DISTINCT c.component
+  FROM keys k
+  JOIN keys p ON p.band_key = k.band_key AND p.batch < k.batch
+  JOIN comp c ON c.id = k.doc_id
+)
+SELECT CAST(id AS BIGINT) AS doc_id
+FROM comp
+WHERE id = component
+  AND component NOT IN (SELECT component FROM contaminated)
+"""
+)
+
+# merged registry row: the batch pipeline survivors next to the streaming
+# availableNow replay survivors, under a mode key
+DEDUP_SURVIVORS_BOTH_SQL = (
+    "SELECT doc_id, 'batch' AS mode FROM (\n"
+    + DEDUP_SURVIVORS_SQL
+    + ")\nUNION ALL\nSELECT doc_id, 'streaming' AS mode FROM (\n"
+    + STREAMING_DEDUP_SURVIVORS_SQL
+    + ")"
+)
+
 # merged registry rows: both kernels unioned under a kernel key (DuckDB
 # allows WITH RECURSIVE inside a derived table)
 LSH_DUP_PAIRS_BOTH_SQL = (
@@ -1299,7 +1361,7 @@ ORACLES = {
     "simhash_pairs": SIMHASH_PAIRS_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "dup_components": DUP_COMPONENTS_BOTH_SQL,
-    "dedup_survivors": DEDUP_SURVIVORS_SQL,
+    "dedup_survivors": DEDUP_SURVIVORS_BOTH_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,

@@ -429,10 +429,81 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the mutant corpus through the INCREMENTAL streaming dedup
+    (streaming/incremental_dedup.py) as three deterministic micro-batches
+    and return the survivor ids.
+
+    Batch assignment is ``doc_id % 3``; each file is dropped and the
+    availableNow stream run to completion BEFORE the next drop, so batch
+    order is pinned by the stream checkpoint itself (no file-mtime
+    ordering assumptions).  Cross-batch contamination is exercised for
+    real: every original's mutant (doc_id + 1,000,000) lands in batch
+    ``(doc_id + 1) % 3``, so planted near-dup pairs span micro-batches and
+    are dropped by the signature-store lookup, not the in-batch pass.
+    Runs at the batch sweep's (k=64, bands=8) fast-kernel config."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .config import ExtractConfig
+    from .streaming.incremental_dedup import start_incremental_dedup_stream
+
+    docs = _docs_with_mutants(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        "lang",
+        F.lit("replay").alias("source"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_dedup_replay_")
+    dirs = {k: os.path.join(root, k) for k in ("in", "out", "store", "ckpt")}
+    os.makedirs(dirs["in"])
+    cfg = ExtractConfig(minhash_k=64, minhash_bands=8)
+    try:
+        for b in range(3):
+            # the file stream watches dirs["in"] itself: stage the single
+            # part file in scratch, then drop it in as b<N>.parquet
+            scratch = os.path.join(root, f"scratch{b}")
+            docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(scratch)
+            part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(dirs["in"], f"b{b}.parquet"))
+            q = start_incremental_dedup_stream(
+                spark,
+                input_dir=dirs["in"],
+                survivors_dir=dirs["out"],
+                store_dir=dirs["store"],
+                checkpoint_dir=dirs["ckpt"],
+                config=cfg,
+                max_files_per_trigger=1,
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("streaming dedup replay did not finish")
+        # materialize before the temp dirs vanish (the returned frame must
+        # not lazily re-read them at driver-collect time)
+        survivors = (
+            spark.read.parquet(dirs["out"])
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return survivors
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End of the dedup pipeline: corpus -> MinHash-LSH pairs -> connected
-    components -> SURVIVORS (component representatives only), i.e. the
-    cleaned corpus a training run would actually read."""
+    """End of the dedup pipeline, in BOTH execution modes under a mode key:
+    'batch' = corpus -> MinHash-LSH pairs -> connected components ->
+    SURVIVORS (component representatives only), i.e. the cleaned corpus a
+    training run would actually read; 'streaming' = the same corpus
+    replayed through the incremental streaming dedup's availableNow
+    micro-batches (in-batch components + signature-store contamination) —
+    the oracle computes the streaming semantics declaratively, so the
+    exactly-once store subsystem is driver-checked end-to-end."""
     from .operators.caching import scoped_caches
     from .operators.dedup import dup_components, lsh_candidate_pairs, minhash_signature
 
@@ -445,7 +516,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps = dup_components(
             docs.select("doc_id"), lsh_candidate_pairs(minhash_signature(docs))
         )
-    return comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    batch = (
+        comps.filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+        .withColumn("mode", F.lit("batch"))
+    )
+    streaming = _streaming_dedup_replay(spark, sf_dir).withColumn(
+        "mode", F.lit("streaming")
+    )
+    return batch.unionByName(streaming)
 
 
 def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -188,6 +188,96 @@ def _check_store_config(spark: SparkSession, store_dir: str, cfg: ExtractConfig)
     validate(read_stamp())
 
 
+def _store_fs(spark: SparkSession, store_dir: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    return jvm, path.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _list_batch_partitions(spark: SparkSession, store_dir: str) -> list[int]:
+    jvm, fs = _store_fs(spark, store_dir)
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, "batch_id=*"))
+    )
+    if statuses is None:
+        return []
+    return sorted(
+        int(st.getPath().getName().split("=", 1)[1]) for st in statuses
+    )
+
+
+COMPACT_TMP = "_compact_tmp"
+
+
+def compact_signature_store(
+    spark: SparkSession, store_dir: str, current_batch_id: int
+) -> int:
+    """Fold every CLOSED batch partition into one consolidated segment.
+
+    The store accumulates one ``batch_id=N`` directory (one small parquet
+    file) per micro-batch forever; at streaming cadence the store READ
+    becomes a small-files listing problem long before key volume matters.
+    This rewrites all partitions older than ``current_batch_id`` —
+    including previous consolidated segments — into a single
+    key-deduplicated segment at ``batch_id=-current_batch_id``, then
+    deletes the sources.  Returns the number of source partitions folded.
+
+    Correctness properties:
+      * retry-exclusion is preserved — consolidated segments carry a
+        NEGATIVE batch_id, which can never equal the in-flight (>= 0)
+        batch id that ``read_signature_store`` excludes;
+      * the in-flight batch's own partition (possibly a partial write
+        under retry) is never touched: only ``0 <= bid < current`` and
+        prior negative segments are folded;
+      * crash-safe without a transaction log: the consolidated segment is
+        written to a scratch dir and RENAMED to ``batch_id=-current``
+        BEFORE any source is deleted, so ``batch_id=-current`` exists
+        if-and-only-if it holds every source's keys.  A retry that finds
+        it present skips straight to deleting leftover sources; a retry
+        that does not recomputes from the (still intact) sources.
+        Mid-delete crashes only leave temporary key DUPLICATES between
+        the segment and undeleted sources — harmless for an
+        existence-join store.
+    """
+    jvm, fs = _store_fs(spark, store_dir)
+
+    def hpath(name: str):
+        return jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, name))
+
+    target = -int(current_batch_id)
+    sources = [
+        bid
+        for bid in _list_batch_partitions(spark, store_dir)
+        if bid < current_batch_id and bid != target
+    ]
+    if not sources:
+        return 0
+    if not fs.exists(hpath(f"batch_id={target}")):
+        if len(sources) < 2:
+            return 0  # nothing worth folding yet
+        consolidated = None
+        for bid in sources:
+            part = spark.read.parquet(
+                os.path.join(store_dir, f"batch_id={bid}")
+            ).select("band_key")
+            consolidated = (
+                part if consolidated is None else consolidated.unionByName(part)
+            )
+        tmp = hpath(COMPACT_TMP)
+        consolidated.distinct().write.mode("overwrite").parquet(
+            os.path.join(store_dir, COMPACT_TMP)
+        )
+        if not fs.rename(tmp, hpath(f"batch_id={target}")):
+            raise IOError(
+                f"compaction rename {COMPACT_TMP} -> batch_id={target} failed"
+            )
+    # segment in place (this attempt's write or a prior attempt's): the
+    # sources' keys are all inside it — drop them
+    for bid in sources:
+        fs.delete(hpath(f"batch_id={bid}"), True)
+    return len(sources)
+
+
 def dedup_batch(
     batch_df: DataFrame,
     store: DataFrame,
@@ -253,13 +343,18 @@ def start_incremental_dedup_stream(
     config: ExtractConfig | None = None,
     available_now: bool = True,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = 16,
 ) -> StreamingQuery:
     """Streaming dedup: survivors land in ``survivors_dir/batch_id=N``,
     their band keys in ``store_dir/batch_id=N`` — both overwritten on
     retry (exactly-once), with the store lookup excluding the current
     batch id.  The store is config-stamped: restarting against an
     existing store with different (k, bands) fails loudly instead of
-    silently forgetting every ingested document."""
+    silently forgetting every ingested document.  Every ``compact_every``
+    batches the closed store partitions are folded into one consolidated
+    segment (see compact_signature_store), so the store's file count stays
+    bounded instead of growing one small file per micro-batch forever;
+    ``compact_every=None`` disables compaction."""
     cfg = config or ExtractConfig()
     _check_store_config(spark, store_dir, cfg)
 
@@ -273,6 +368,8 @@ def start_incremental_dedup_stream(
             survivors, keys = dedup_batch(batch_df, store, cfg)
             write_batch_idempotent(survivors, survivors_dir, batch_id)
             write_batch_idempotent(keys, store_dir, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_signature_store(spark, store_dir, batch_id)
 
     return start_foreach_batch_stream(
         stream_documents(spark, input_dir, max_files_per_trigger),

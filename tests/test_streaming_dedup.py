@@ -143,6 +143,131 @@ def test_retry_excludes_own_partial_store_write(spark, dirs):
     assert store_for_next.count() > 0
 
 
+FOURTH = (
+    "yet another standalone topic covering tidal marsh ecology the "
+    "migratory birds that feed there and the sediment cycles shaping "
+    "the estuary over seasonal floods"
+)
+FIFTH = (
+    "finally a treatise on baroque counterpoint voice leading figured "
+    "bass realization and the ornamentation conventions of keyboard "
+    "suites in the early eighteenth century"
+)
+
+
+def _store_partition_dirs(store_dir):
+    import glob
+
+    return sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(os.path.join(store_dir, "batch_id=*"))
+    )
+
+
+def test_store_compaction_bounds_file_count(spark, tmp_path):
+    """With compact_every=2, the store's partition-directory count stays
+    bounded (consolidated segment + at most compact_every open batches)
+    across 7 micro-batches, survivors are IDENTICAL to an uncompacted
+    run over the same drops, and near-dups of docs whose partitions were
+    folded away are still caught via the consolidated segment."""
+    din = tmp_path / "in"
+    din.mkdir()
+    runs = {
+        "compacted": {"compact_every": 2},
+        "plain": {"compact_every": None},
+    }
+    for name in runs:
+        for k in ("out", "store", "ckpt"):
+            (tmp_path / name / k).parent.mkdir(exist_ok=True)
+    batches = [
+        [(10, BASE)],
+        [(20, OTHER)],
+        [(30, THIRD)],                  # compaction folds batches 0-1
+        [(40, BASE + " zz qq")],        # near-dup of FOLDED batch-0 doc
+        [(50, FOURTH)],                 # compaction folds {-2, 2, 3}
+        [(60, OTHER + " qq zz")],       # near-dup of folded batch-1 doc
+        [(70, FIFTH)],                  # compaction folds {-4, 4, 5}
+    ]
+    for b, rows in enumerate(batches):
+        _write_batch(spark, str(din), f"b{b}", rows)
+        for name, opts in runs.items():
+            q = start_incremental_dedup_stream(
+                spark,
+                input_dir=str(din),
+                survivors_dir=str(tmp_path / name / "out"),
+                store_dir=str(tmp_path / name / "store"),
+                checkpoint_dir=str(tmp_path / name / "ckpt"),
+                **opts,
+            )
+            assert q.awaitTermination(300)
+
+    expected = [10, 20, 30, 50, 70]
+    assert _survivor_ids(spark, str(tmp_path / "compacted" / "out")) == expected
+    assert _survivor_ids(spark, str(tmp_path / "plain" / "out")) == expected
+
+    plain_dirs = _store_partition_dirs(str(tmp_path / "plain" / "store"))
+    compact_dirs = _store_partition_dirs(str(tmp_path / "compacted" / "store"))
+    assert plain_dirs == list(range(7))  # one dir per micro-batch, forever
+    # last compaction ran inside batch 6: everything below folded into -6
+    assert compact_dirs == [-6, 6]
+
+
+def test_compact_signature_store_idempotent_retry(spark, tmp_path):
+    """A retry that finds the consolidated segment already renamed into
+    place must NOT recompute it from the (possibly partially deleted)
+    sources — it only deletes the leftovers.  And a second call with
+    nothing left to fold is a no-op."""
+    from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        compact_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+
+    def write_keys(bid, keys):
+        spark.createDataFrame([(k,) for k in keys], "band_key string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store, f"batch_id={bid}"))
+
+    write_keys(0, ["0:aa", "1:bb"])
+    write_keys(1, ["0:cc"])
+    # simulate a prior attempt that renamed the consolidated segment into
+    # place and then crashed mid-delete: batch 0's keys live ONLY in -2 now
+    write_keys(-2, ["0:aa", "1:bb", "0:cc"])
+    import shutil
+
+    shutil.rmtree(os.path.join(store, "batch_id=0"))
+
+    assert compact_signature_store(spark, store, 2) == 1  # deletes leftover 1
+    assert _store_partition_dirs(store) == [-2]
+    got = {
+        r.band_key
+        for r in spark.read.parquet(os.path.join(store, "batch_id=-2")).collect()
+    }
+    assert got == {"0:aa", "1:bb", "0:cc"}  # nothing recomputed away
+    assert compact_signature_store(spark, store, 2) == 0  # no-op now
+
+
+def test_dedup_survivors_query_has_streaming_arm(spark):
+    """The registered dedup_survivors query carries BOTH execution modes:
+    the batch pipeline and the availableNow streaming replay (driver-gated
+    against a DuckDB oracle that computes the streaming micro-batch
+    semantics declaratively — this test pins the cheap structural facts)."""
+    from docling_ocr_qwen3vl_spark.queries import q_dedup_survivors
+
+    df = q_dedup_survivors(spark, "/root/testdata/sf0.001")
+    by_mode: dict[str, set] = {}
+    for r in df.collect():
+        by_mode.setdefault(r["mode"], set()).add(r["doc_id"])
+    assert set(by_mode) == {"batch", "streaming"}
+    # both arms deduplicated a corpus that holds one planted near-dup per
+    # original: survivors must be nonempty and strictly fewer than the
+    # 2x-corpus doc count (originals + mutants)
+    n_docs = 2 * spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    for mode, ids in by_mode.items():
+        assert 0 < len(ids) < n_docs, mode
+        assert all(i >= 0 for i in ids), mode
+
+
 def test_melt_band_keys_shape(spark):
     sigs = spark.createDataFrame(
         [(1, "aa", "bb")], "doc_id long, band0 string, band1 string"
