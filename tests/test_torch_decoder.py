@@ -443,6 +443,70 @@ def test_force_valid_json_routes_layout_through_jsonformer(decoder_env):
     assert out == [(0, "media_ref", "", 2, 1)]
 
 
+def test_force_valid_json_decode_batch_mixes_walk_and_batched_ocr(decoder_env):
+    """The T12 regime at the decode_batch level, not just page-of-one:
+    under force_valid_json=True a MIXED batch keeps OCR-ish pages on the
+    micro-batched generate path (ONE forward pass for both plain pages)
+    while every layout_json page runs its own per-value JsonformerWalk
+    over TorchTokenBackend (12 greedy scalar generates + 1 continue-probe
+    forward each), and both groups' parsed structs land in input order."""
+    dec, model, processor = decoder_env
+    dec.options.force_valid_json = True
+    dec.options.prompt_mode = "ocr"
+
+    # two independent layout walks: 2 elements x 6 scalars each
+    continuations = [
+        'picture"', "1", "2", "30", "40", "0.9",
+        'text"', "5", "6", "7", "8", "0.8",
+    ] * 2
+    processor.tokenizer = JfTokenizer(continuations, vocab={201: "]"})
+    probe_rankings = [[201], [201]]  # each page: ']' first after elem 2
+
+    jf_gen_log = []
+    ocr_generate = model.generate  # the batched-OCR fake, bound pre-swap
+
+    def dispatch_generate(**kw):
+        # only TorchTokenBackend.continue_text passes pad_token_id
+        # (generation.py's batched path never does)
+        if "pad_token_id" in kw:
+            jf_gen_log.append(kw)
+
+            class Resp:
+                def __getitem__(self, idx):  # response[0, input_len:]
+                    return [9, 9]
+
+            return Resp()
+        return ocr_generate(**kw)
+
+    def jf_forward(**inputs):
+        return types.SimpleNamespace(
+            logits=JfLogits2D(JfLogits(probe_rankings.pop(0)))
+        )
+
+    model.generate = dispatch_generate
+    model.forward = jf_forward
+    model.output_ids = [7]
+    processor.decode_result = "alpha"
+
+    out = dec.decode_batch([
+        ("plain_text", object()), ("layout_json", object()),
+        ("plain_text", object()), ("layout_json", object()),
+    ])
+
+    # both plain pages shared ONE micro-batched generate call of size 2
+    assert model.generate_calls == 1
+    assert model.generate_batch_sizes == [2]
+    # each layout page walked independently: 12 scalars + 1 probe apiece
+    assert len(jf_gen_log) == 24
+    assert all(kw["do_sample"] is False for kw in jf_gen_log)
+    assert not probe_rankings
+    # results in INPUT order: parsed paragraphs, then the walked struct
+    # through the same _decode_layout parse (picture -> media span at (t,l))
+    assert [e[2] for e in out[0]] == ["alpha"] and out[2] == out[0]
+    assert out[1] == [(0, "media_ref", "", 2, 1)]
+    assert out[3] == out[1]
+
+
 def test_force_valid_json_boolean_probe_uses_logit_compare(decoder_env):
     """table_json + force_valid_json: the 'hdr' boolean resolves via ONE
     forward pass comparing the exact true/false token logits
