@@ -112,6 +112,14 @@ class ExtractConfig:
     # walk (guaranteed-valid JSON, one model call per scalar) instead of
     # single-shot + repair — forwarded to Qwen3VlOcrOptions on the workers
     force_valid_json: bool = False
+    # extra Qwen3VlOcrOptions fields for the GPU backend (model_repo_id,
+    # quantization, dtype, attention, hf_token, ...), passed through to the
+    # worker-side decoder options verbatim; unknown keys are REJECTED there
+    # by Qwen3VlOcrOptions itself (extra='forbid' parity), and the
+    # first-class fields above win on collision.  This is what lets a
+    # spark-submit deployment select int4/int8 quantization or a different
+    # model repo without constructing stage options by hand (DEPLOY.md)
+    decoder_options: dict = field(default_factory=dict)
     # per-stage enables (plugins' enabled flags / do_*_enrichment options)
     do_ocr: bool = True
     do_layout: bool = True

@@ -128,6 +128,10 @@ def decode_pages(raw_pages: DataFrame, config=None) -> DataFrame:
 
     cfg = config or ExtractConfig()
     decoder_opts = {
+        # decoder_options first: the first-class pipeline fields win on
+        # collision (a deploy-time passthrough must not silently override
+        # what the plan was built with)
+        **dict(cfg.decoder_options),
         "prompt_mode": cfg.prompt_mode,
         "prompt_overrides": dict(cfg.prompt_overrides),
         "page_scale": cfg.page_scale,

@@ -103,13 +103,17 @@ def run_checkpointed_extract(
     documents: DataFrame | None = None,
     fail_after_group: int | None = None,
     max_groups: int | None = None,
+    config=None,
 ) -> int:
     """Process the corpus group-by-group with lineage commits.
 
     Returns the number of groups processed in THIS invocation.
     ``fail_after_group`` injects a crash (for the resume test);
     ``max_groups`` bounds this invocation (the async job surface advances
-    a run incrementally with it — see plans/jobs.py).
+    a run incrementally with it — see plans/jobs.py); ``config``
+    (ExtractConfig) selects the decode backend and its knobs — this is the
+    path a spark-submit GPU deployment configures itself through
+    (scripts/run_extract.py flags -> ExtractConfig -> worker decoder).
     """
     from ..plans.pipeline import extract_spans
     from ..sources.tables import load_table
@@ -124,7 +128,7 @@ def run_checkpointed_extract(
             continue
         t0 = time.time()
         group_docs = documents.filter(_group_col(run.n_groups) == group)
-        spans = extract_spans(spark, sf_dir, documents=group_docs)
+        spans = extract_spans(spark, sf_dir, documents=group_docs, config=config)
         # output first (deterministic per-group dir -> overwrite idempotent)
         group_path = os.path.join(run.out_path, f"group={group}")
         spans.write.mode("overwrite").parquet(group_path)

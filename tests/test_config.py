@@ -62,3 +62,40 @@ def test_force_valid_json_flows_from_extract_config(monkeypatch, spark):
     # and the dict round-trips into the stage options the decoder builds
     opts = Qwen3VlOcrOptions(**{k: v for k, v in seen["opts"].items()})
     assert opts.force_valid_json is True
+
+
+def test_decoder_options_passthrough_reaches_worker_opts(monkeypatch, spark):
+    """ExtractConfig.decoder_options (the spark-submit deployment's
+    quantization/model-repo knobs — DEPLOY.md) merges into the worker
+    decoder opts, with the first-class pipeline fields winning on
+    collision, and the merged dict still round-trips into
+    Qwen3VlOcrOptions."""
+    from docling_ocr_qwen3vl_spark.config import ExtractConfig, Qwen3VlOcrOptions
+    from docling_ocr_qwen3vl_spark.operators import page_decode
+
+    seen = {}
+    real = page_decode._make_decode_batches
+
+    def spy(backend, decoder_opts):
+        seen["opts"] = decoder_opts
+        return real(backend, decoder_opts)
+
+    monkeypatch.setattr(page_decode, "_make_decode_batches", spy)
+    raw = spark.createDataFrame(
+        [(1, 0, "plain_text", "hello world")],
+        "doc_id long, page_no int, payload_kind string, payload string",
+    )
+    cfg = ExtractConfig(
+        prompt_mode="ocr",
+        decoder_options={
+            "quantization": "int4",
+            "model_repo_id": "owner/other-model",
+            "prompt_mode": "markdown",  # collides -> first-class wins
+        },
+    )
+    page_decode.decode_pages(raw, config=cfg)
+    assert seen["opts"]["quantization"] == "int4"
+    assert seen["opts"]["model_repo_id"] == "owner/other-model"
+    assert seen["opts"]["prompt_mode"] == "ocr"
+    opts = Qwen3VlOcrOptions(**seen["opts"])
+    assert opts.quantization == "int4"
