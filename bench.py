@@ -293,22 +293,31 @@ def run_host_envelope(lo: int = 8, hi: int = 32, tasks: int = 256, reps: int = 3
     return _run_envelope(_BURN_SNIPPET, lo, hi, tasks, reps, early_exit_at=0.8)
 
 
-def run_burn_marker(procs: int | None = None, reps: int = 3) -> float | None:
+def run_burn_marker(procs: int | None = None, reps: int = 3) -> dict | None:
     """An ABSOLUTE host-speed marker: min-of-k wall time of a fixed
     pinned-CPU md5 burn at full width.  The scaling envelopes measure the
     host's 8->32 RATIO, which can read healthy while the whole box is
     uniformly slowed by a noisy neighbour — exactly the failure mode that
     made every r04 per-query number drift ~15% without any code change.
     Recording the marker next to the query table makes a contended window
-    machine-evident: compare host_burn_sec_32 across rounds before
-    comparing query seconds."""
+    machine-evident: compare markers across rounds before comparing query
+    seconds.  The proc/task geometry is recorded WITH the seconds — two
+    markers are only comparable at the same geometry (a SPARK_GRAFT_CPUS=8
+    run's burn is a different workload than the default 32)."""
     procs = procs or CPUS
-    cmd = [sys.executable, "-c", _BURN_SNIPPET, str(procs), str(procs * 8), str(reps)]
+    tasks = procs * 8
+    cmd = [sys.executable, "-c", _BURN_SNIPPET, str(procs), str(tasks), str(reps)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{procs - 1}"] + cmd
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-    return round(json.loads(line[-1])["sec"], 3) if line else None
+    if not line:
+        return None
+    return {
+        "procs": procs,
+        "tasks": tasks,
+        "sec": round(json.loads(line[-1])["sec"], 3),
+    }
 
 
 def run_dedup_sweep(spark, sf_dir: str) -> dict:
@@ -481,7 +490,7 @@ def main() -> None:
         "n_spans": n_spans,
         "docs_per_sec": round(n_docs / flagship, 2) if flagship else None,
         "pages_per_sec": round(n_docs * 2 / flagship, 2) if flagship else None,
-        "host_burn_sec_32": host_burn,
+        "host_burn": host_burn,
         "queries_passes": passes,
         "dedup_sweep": dedup_sweep,
     }

@@ -69,10 +69,25 @@ def encode_cursor(doc_id, offset) -> str:
 
 
 def decode_cursor(token: str) -> tuple:
+    """Inverse of encode_cursor, VALIDATING the shape: a crafted token that
+    is valid base64url JSON but not a scalar (doc_id, offset) pair must
+    fail HERE (-> the handler's 400 path), not later inside the Spark
+    filter where a non-scalar literal raises outside the param-parsing
+    guard and kills the request without a response."""
     import base64
 
     pad = "=" * (-len(token) % 4)
-    doc_id, offset = json.loads(base64.urlsafe_b64decode(token + pad))
+    decoded = json.loads(base64.urlsafe_b64decode(token + pad))
+    if (
+        not isinstance(decoded, list)
+        or len(decoded) != 2
+        or not isinstance(decoded[0], (str, int, float))
+        or isinstance(decoded[0], bool)
+        or not isinstance(decoded[1], (str, int, float))
+        or isinstance(decoded[1], bool)
+    ):
+        raise ValueError("malformed cursor")
+    doc_id, offset = decoded
     return doc_id, int(offset)
 
 
@@ -272,6 +287,22 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(400, {"error": f"bad paging params: {exc}"})
             return
         out = self.ctx.spark.read.parquet(job.run.out_path)
+        if after is not None:
+            # the cursor's doc_id must match the result column's type class:
+            # under ANSI a non-numeric string literal compared to a numeric
+            # column raises at execution (another post-guard crash), and a
+            # numeric cursor against a string column would page wrongly
+            numeric = dict(out.dtypes).get("doc_id", "string") not in (
+                "string", "varchar",
+            )
+            if numeric and not isinstance(after[0], (int, float)):
+                self._json(
+                    400, {"error": "bad paging params: cursor doc_id type "
+                          "does not match the result schema"},
+                )
+                return
+            if not numeric:
+                after = (str(after[0]), after[1])
         rows = result_page(out, after, page_limit).collect()
         # a short page proves the result is drained; a full page may have
         # more, so hand back the cursor for the next fetch

@@ -156,10 +156,7 @@ def _check_store_config(spark: SparkSession, store_dir: str, cfg: ExtractConfig)
     # no stamp: refuse to ADOPT a store that already holds data — an
     # unstamped-but-populated dir predates the guard (or lost its stamp),
     # and assuming the current config would defeat the whole check
-    existing = fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, "batch_id=*"))
-    )
-    if existing is not None and len(existing) > 0:
+    if _list_batch_partitions(spark, store_dir):
         raise ValueError(
             f"signature store at {store_dir} holds batch data but no "
             f"{STORE_CONFIG_FILE} stamp; refusing to guess its (k, bands). "
@@ -229,6 +226,13 @@ def compact_signature_store(
       * the in-flight batch's own partition (possibly a partial write
         under retry) is never touched: only ``0 <= bid < current`` and
         prior negative segments are folded;
+      * SINGLE-WRITER contract: the store (like its batch_id partition
+        layout itself — two streams' independent batch-id sequences would
+        overwrite each other's partitions long before compaction matters)
+        belongs to exactly one stream; the config stamp's race handling
+        covers duplicate starts of the SAME stream, not store sharing.
+        Streams that must dedup against each other need distinct
+        store_dirs plus a shared read-only lookup, not one store;
       * crash-safe without a transaction log: the consolidated segment is
         written to a scratch dir and RENAMED to ``batch_id=-current``
         BEFORE any source is deleted, so ``batch_id=-current`` exists
@@ -255,14 +259,15 @@ def compact_signature_store(
     if not fs.exists(hpath(f"batch_id={target}")):
         if len(sources) < 2:
             return 0  # nothing worth folding yet
-        consolidated = None
-        for bid in sources:
-            part = spark.read.parquet(
-                os.path.join(store_dir, f"batch_id={bid}")
-            ).select("band_key")
-            consolidated = (
-                part if consolidated is None else consolidated.unionByName(part)
-            )
+        # ONE partition-pruned scan of the store root (the partition filter
+        # prunes the in-flight batch's files), not a per-source read + an
+        # N-deep union — at compact_every=16 on an object store that is one
+        # listing round-trip instead of 17
+        consolidated = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("batch_id").isin(sources))
+            .select("band_key")
+        )
         tmp = hpath(COMPACT_TMP)
         consolidated.distinct().write.mode("overwrite").parquet(
             os.path.join(store_dir, COMPACT_TMP)

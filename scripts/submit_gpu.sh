@@ -8,7 +8,9 @@ N_EXECUTORS="${N_EXECUTORS:?set N_EXECUTORS (and 4x it for the scaling run)}"
 INPUT="${INPUT:?set INPUT}"
 OUT="${OUT:?set OUT}"
 LINEAGE="${LINEAGE:?set LINEAGE}"
-RUN_ID="${RUN_ID:-prod-$(date +%Y%m%d-%H%M)}"
+# REQUIRED and must be STABLE across retries: resume keys on the lineage
+# table for this run_id — a fresh id reprocesses every group from scratch
+RUN_ID="${RUN_ID:?set RUN_ID (keep it identical when re-running to resume)}"
 QUANT="${QUANT:-none}"          # none | int8 | int4
 GROUPS="${GROUPS:-4096}"
 CORES_PER_EXECUTOR="${CORES_PER_EXECUTOR:-8}"

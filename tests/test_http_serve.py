@@ -126,6 +126,29 @@ def test_submit_poll_fetch_roundtrip(serve, spark, sf_dir):
         code, _ = _get(f"{serve}/v1/result/{task_id}?{q}")
         assert code == 400
 
+    # crafted cursors that ARE valid base64url JSON but not a scalar
+    # (doc_id, offset) pair — or whose doc_id type mismatches the result
+    # schema — must also be a 400, never a post-guard Spark crash that
+    # drops the connection
+    import base64 as _b64
+
+    def craft(payload):
+        return _b64.urlsafe_b64encode(
+            json.dumps(payload).encode()
+        ).decode().rstrip("=")
+
+    for payload in ([[1, 2], 3], {"doc_id": 1}, [1], [1, 2, 3],
+                    [None, 0], [True, 0], [1, [2]]):
+        code, body = _get(
+            f"{serve}/v1/result/{task_id}?cursor={craft(payload)}"
+        )
+        assert code == 400, payload
+        assert "cursor" in body["error"] or "paging" in body["error"]
+    # a scalar string doc_id is a VALID cursor against this task's string
+    # doc_id column (only a numeric result schema would 400 it)
+    code, _ = _get(f"{serve}/v1/result/{task_id}?cursor={craft(['abc', 0])}")
+    assert code == 200
+
 
 def test_result_page_plan_has_no_offset_and_no_global_sort(spark, tmp_path):
     """The keyset page plan must be a pushdown-able range filter + top-K:
