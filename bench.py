@@ -410,6 +410,127 @@ def run_dedup_sweep(spark, sf_dir: str) -> dict:
     }
 
 
+def run_streaming_dedup_sweep(
+    spark, sf_dir: str, n_batches: int = 8, rep_per_batch: int = 8
+) -> dict:
+    """Volume evidence for the INCREMENTAL streaming dedup path (env-gated:
+    SPARK_GRAFT_STREAM_SWEEP=1; one-off, not part of the per-round bench).
+
+    The corpus is replicated into ``n_batches`` micro-batch files with the
+    same replica-salting as run_dedup_sweep (cross-replica similarity ~0,
+    pair graph linear in volume); each batch's docs get their planted
+    near-dup placed in the NEXT batch, so roughly every dup pair must be
+    caught by the cross-batch signature-store lookup, not in-batch.  All
+    files play through ONE availableNow run (maxFilesPerTrigger=1 -> one
+    micro-batch per file) with store compaction every 2 batches.  Reports
+    end-to-end wall time, docs/s, survivors (expected: exactly one per
+    dup-pair component), and the final store partition-dir count (bounded
+    by compaction vs one-dir-per-batch growth)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from docling_ocr_qwen3vl_spark.config import ExtractConfig
+    from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        start_incremental_dedup_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_sweep_")
+    dirs = {k: os.path.join(root, k) for k in ("in", "out", "store", "ckpt")}
+    os.makedirs(dirs["in"])
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n_base = docs.count()
+    try:
+        n_docs = 0
+        for b in range(n_batches):
+            reps = spark.range(rep_per_batch).select(F.col("id").alias("rep_id"))
+            originals = docs.crossJoin(reps).select(
+                (
+                    (F.col("doc_id") * n_batches + b) * rep_per_batch
+                    + F.col("rep_id")
+                ).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(" "),
+                    F.concat(
+                        F.lit(f" b{b}r"), F.col("rep_id").cast("string"), F.lit(" ")
+                    ),
+                ).alias("text"),
+            )
+            batch = originals
+            if b > 0:
+                # near-dups of the PREVIOUS batch's originals: every pair
+                # spans two micro-batches -> store-lookup recall at volume
+                prev = docs.crossJoin(reps).select(
+                    (
+                        (F.col("doc_id") * n_batches + (b - 1)) * rep_per_batch
+                        + F.col("rep_id")
+                        + 1_000_000_000
+                    ).alias("doc_id"),
+                    F.concat(
+                        F.regexp_replace(
+                            F.col("text"),
+                            F.lit(" "),
+                            F.concat(
+                                F.lit(f" b{b - 1}r"),
+                                F.col("rep_id").cast("string"),
+                                F.lit(" "),
+                            ),
+                        ),
+                        F.lit(" zz qq"),
+                    ).alias("text"),
+                )
+                batch = originals.unionByName(prev)
+            full = batch.select(
+                "doc_id", "text", F.lit("en").alias("lang"),
+                F.lit("sweep").alias("source"),
+                F.length("text").cast("long").alias("n_chars"),
+            )
+            scratch = os.path.join(root, f"scratch{b}")
+            full.coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = _glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(dirs["in"], f"b{b:03d}.parquet"))
+            n_docs += full.count()
+
+        cfg = ExtractConfig(minhash_k=64, minhash_bands=8)
+        t0 = time.time()
+        q = start_incremental_dedup_stream(
+            spark,
+            input_dir=dirs["in"],
+            survivors_dir=dirs["out"],
+            store_dir=dirs["store"],
+            checkpoint_dir=dirs["ckpt"],
+            config=cfg,
+            max_files_per_trigger=1,
+            compact_every=2,
+        )
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise RuntimeError("streaming dedup sweep did not finish in 1h")
+        total_sec = time.time() - t0
+        n_survivors = spark.read.parquet(dirs["out"]).count()
+        store_dirs = len(_glob.glob(os.path.join(dirs["store"], "batch_id=*")))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_batches": n_batches,
+        "rep_per_batch": rep_per_batch,
+        "n_docs": n_docs,
+        "n_base_docs": n_base,
+        "n_survivors": n_survivors,
+        "total_sec": round(total_sec, 2),
+        "docs_per_sec": round(n_docs / total_sec, 1),
+        "store_partition_dirs": store_dirs,
+        "compact_every": 2,
+        "minhash_k": cfg.minhash_k,
+        "minhash_bands": cfg.minhash_bands,
+    }
+
+
 def main() -> None:
     from docling_ocr_qwen3vl_spark.plans.session import build_session
     from docling_ocr_qwen3vl_spark.queries import QUERIES
@@ -478,6 +599,10 @@ def main() -> None:
 
     dedup_sweep = run_dedup_sweep(spark, SF_DIR)
 
+    streaming_sweep = None
+    if os.environ.get("SPARK_GRAFT_STREAM_SWEEP", "0") == "1":
+        streaming_sweep = run_streaming_dedup_sweep(spark, SF_DIR)
+
     flagship = timings["extract_interleaved_spans"]
     # pages per doc = doc_id%3+1 -> mean 2 at scale
     result = {
@@ -494,6 +619,8 @@ def main() -> None:
         "queries_passes": passes,
         "dedup_sweep": dedup_sweep,
     }
+    if streaming_sweep is not None:
+        result["streaming_dedup_sweep"] = streaming_sweep
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":

@@ -858,18 +858,25 @@ FROM lbl GROUP BY id""",
 FROM lbl GROUP BY id HAVING min(l) = id""",
 )
 
-# streaming incremental dedup replayed as three deterministic micro-batches
+# streaming incremental dedup replayed as four deterministic micro-batches
 # (streaming/incremental_dedup.py semantics, declaratively): batch =
-# doc_num % 3 (each original's mutant lands in batch (doc+1) % 3, so planted
-# near-dup pairs span micro-batches); per batch, in-batch components over
+# (doc_id + 1 for mutants, doc_id for originals) % 4 — the +1 shifts every
+# mutant (doc_id >= 1,000,000, offset itself ≡ 0 mod 4) one batch PAST its
+# original, so planted near-dup pairs span micro-batches; per batch,
+# in-batch components over
 # the fast-kernel banded pair graph RESTRICTED to same-batch edges; then a
 # component whose ANY member shares a band key with ANY earlier-batch doc
 # (accepted OR dropped — the store keeps every seen doc's keys) is
 # contaminated and its representative drops too.  Survivors = uncontaminated
-# in-batch representatives.
+# in-batch representatives.  The engine side compacts the store mid-replay
+# (compact_every=2); this oracle is deliberately LAYOUT-INDEPENDENT —
+# contamination is defined over earlier-batch keys, however stored — so the
+# hash check also gates compaction's key-preservation.
 STREAMING_DEDUP_SURVIVORS_SQL = (
     "WITH RECURSIVE " + _MUTANT_DOCS_CTE + "," + _FAST_BANDED_CORE + """,
-fb AS (SELECT fbanded.*, doc_id % 3 AS batch FROM fbanded),
+fb AS (SELECT fbanded.*,
+       (doc_id + CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) % 4 AS batch
+  FROM fbanded),
 keys AS (
   SELECT DISTINCT doc_id, batch, band_key FROM (
 """

@@ -431,16 +431,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the mutant corpus through the INCREMENTAL streaming dedup
-    (streaming/incremental_dedup.py) as three deterministic micro-batches
+    (streaming/incremental_dedup.py) as four deterministic micro-batches
     and return the survivor ids.
 
-    Batch assignment is ``doc_id % 3``; each file is dropped and the
-    availableNow stream run to completion BEFORE the next drop, so batch
-    order is pinned by the stream checkpoint itself (no file-mtime
-    ordering assumptions).  Cross-batch contamination is exercised for
-    real: every original's mutant (doc_id + 1,000,000) lands in batch
-    ``(doc_id + 1) % 3``, so planted near-dup pairs span micro-batches and
-    are dropped by the signature-store lookup, not the in-batch pass.
+    Batch assignment is ``(doc_id + 1 if mutant else doc_id) % 4`` — the
+    mutant offset (1,000,000) is itself ≡ 0 mod 4, so the explicit +1
+    shifts every mutant one batch PAST its original; each file is dropped
+    and the availableNow stream run to completion BEFORE the next drop, so
+    batch order is pinned by the stream checkpoint itself (no file-mtime
+    ordering assumptions).  Cross-batch contamination is thus exercised
+    for real: planted near-dup pairs span micro-batches and are dropped by
+    the signature-store lookup, not the in-batch pass.
+    ``compact_every=2`` puts STORE COMPACTION on the gated path too:
+    batch 2's processing folds partitions {0, 1} into a consolidated
+    segment, so batch 3's store lookup reads compacted state — the oracle
+    is layout-independent (contamination = earlier-batch keys), so a
+    compaction bug that loses or duplicates semantics fails the hash.
     Runs at the batch sweep's (k=64, bands=8) fast-kernel config."""
     import glob
     import os
@@ -462,11 +468,15 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(dirs["in"])
     cfg = ExtractConfig(minhash_k=64, minhash_bands=8)
     try:
-        for b in range(3):
+        for b in range(4):
             # the file stream watches dirs["in"] itself: stage the single
             # part file in scratch, then drop it in as b<N>.parquet
             scratch = os.path.join(root, f"scratch{b}")
-            docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            batch_key = (
+                F.col("doc_id")
+                + F.when(F.col("doc_id") >= 1000000, F.lit(1)).otherwise(F.lit(0))
+            ) % 4
+            docs.filter(batch_key == b).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(scratch)
             part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
@@ -479,6 +489,7 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 checkpoint_dir=dirs["ckpt"],
                 config=cfg,
                 max_files_per_trigger=1,
+                compact_every=2,
             )
             if not q.awaitTermination(600):
                 q.stop()
