@@ -493,8 +493,14 @@ def run_streaming_dedup_sweep(
             scratch = os.path.join(root, f"scratch{b}")
             full.coalesce(1).write.mode("overwrite").parquet(scratch)
             part = _glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
-            os.rename(part, os.path.join(dirs["in"], f"b{b:03d}.parquet"))
-            n_docs += full.count()
+            dest = os.path.join(dirs["in"], f"b{b:03d}.parquet")
+            os.rename(part, dest)
+            # FileStreamSource orders the initial listing by mtime; pin the
+            # batch sequence explicitly (1 s apart) instead of trusting the
+            # write-time sub-second ordering to break ties
+            os.utime(dest, (1_700_000_000 + b, 1_700_000_000 + b))
+            # row count is arithmetic — don't re-execute the crossJoin plan
+            n_docs += n_base * rep_per_batch * (2 if b > 0 else 1)
 
         cfg = ExtractConfig(minhash_k=64, minhash_bands=8)
         t0 = time.time()
@@ -512,7 +518,14 @@ def run_streaming_dedup_sweep(
             q.stop()
             raise RuntimeError("streaming dedup sweep did not finish in 1h")
         total_sec = time.time() - t0
-        n_survivors = spark.read.parquet(dirs["out"]).count()
+        survivors = spark.read.parquet(dirs["out"])
+        n_survivors = survivors.count()
+        # planted dups carry doc_id >= 1e9: with mtime-pinned batch order
+        # every planted pair's ORIGINAL precedes its dup, so store-lookup
+        # recall is directly measurable as zero surviving mutants
+        n_mutant_survivors = survivors.filter(
+            F.col("doc_id") >= 1_000_000_000
+        ).count()
         store_dirs = len(_glob.glob(os.path.join(dirs["store"], "batch_id=*")))
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -522,6 +535,8 @@ def run_streaming_dedup_sweep(
         "n_docs": n_docs,
         "n_base_docs": n_base,
         "n_survivors": n_survivors,
+        "n_mutant_survivors": n_mutant_survivors,
+        "n_planted_mutants": n_base * rep_per_batch * (n_batches - 1),
         "total_sec": round(total_sec, 2),
         "docs_per_sec": round(n_docs / total_sec, 1),
         "store_partition_dirs": store_dirs,

@@ -861,8 +861,9 @@ FROM lbl GROUP BY id HAVING min(l) = id""",
 # streaming incremental dedup replayed as four deterministic micro-batches
 # (streaming/incremental_dedup.py semantics, declaratively): batch =
 # (doc_id + 1 for mutants, doc_id for originals) % 4 — the +1 shifts every
-# mutant (doc_id >= 1,000,000, offset itself ≡ 0 mod 4) one batch PAST its
-# original, so planted near-dup pairs span micro-batches; per batch,
+# mutant (doc_id >= 1,000,000, offset itself ≡ 0 mod 4) one batch past its
+# original (wrapping to batch 0, i.e. BEFORE it, for doc_id % 4 == 3), so
+# planted near-dup pairs always span micro-batches; per batch,
 # in-batch components over
 # the fast-kernel banded pair graph RESTRICTED to same-batch edges; then a
 # component whose ANY member shares a band key with ANY earlier-batch doc

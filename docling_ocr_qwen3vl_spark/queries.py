@@ -436,12 +436,15 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Batch assignment is ``(doc_id + 1 if mutant else doc_id) % 4`` — the
     mutant offset (1,000,000) is itself ≡ 0 mod 4, so the explicit +1
-    shifts every mutant one batch PAST its original; each file is dropped
-    and the availableNow stream run to completion BEFORE the next drop, so
-    batch order is pinned by the stream checkpoint itself (no file-mtime
-    ordering assumptions).  Cross-batch contamination is thus exercised
-    for real: planted near-dup pairs span micro-batches and are dropped by
-    the signature-store lookup, not the in-batch pass.
+    puts every mutant one batch AFTER its original, except doc_id % 4 == 3
+    whose mutant wraps to batch 0 and streams BEFORE its original (there
+    the mutant survives and the store lookup drops the original — both
+    directions of cross-batch resolution are exercised); each file is
+    dropped and the availableNow stream run to completion BEFORE the next
+    drop, so batch order is pinned by the stream checkpoint itself (no
+    file-mtime ordering assumptions).  Either way every planted pair
+    spans micro-batches and one side is dropped by the signature-store
+    lookup, not the in-batch pass.
     ``compact_every=2`` puts STORE COMPACTION on the gated path too:
     batch 2's processing folds partitions {0, 1} into a consolidated
     segment, so batch 3's store lookup reads compacted state — the oracle
