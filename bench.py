@@ -140,11 +140,21 @@ def run_scaling(
             break
         attempts += 1
         out = {}
+        child_error = None
         for cores, k in ((lo, reps), (hi, reps + 2)):
             res = _run_scaling_child(sf_dir, cores, rep, k, child_env)
             if "error" in res:
-                return res
+                child_error = res
+                break
             out[cores] = res
+        if child_error is not None:
+            # a failed RETRY must not discard an earlier valid measurement
+            # — keep the best-so-far and surface the error alongside it
+            if best is not None:
+                best["retry_error"] = child_error["error"]
+                best["attempts"] = attempts
+                return best
+            return child_error
         n_docs = out[lo]["docs"]
         tput_lo = n_docs / out[lo]["sec"]
         tput_hi = n_docs / out[hi]["sec"]
@@ -309,7 +319,12 @@ def run_burn_marker(procs: int | None = None, reps: int = 3) -> dict | None:
     cmd = [sys.executable, "-c", _BURN_SNIPPET, str(procs), str(tasks), str(reps)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{procs - 1}"] + cmd
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    except subprocess.TimeoutExpired:
+        # a >300 s burn IS the contended-window signal — record null and
+        # let the bench artifact still be produced
+        return None
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if not line:
         return None

@@ -362,7 +362,10 @@ def get_decoder(
         def build():
             from ..config import Qwen3VlOcrOptions
 
-            return TorchQwenDecoder(options=Qwen3VlOcrOptions(**opts))
+            # from_dict rejects unknown keys with a ValueError that NAMES
+            # them (extra='forbid' parity) — a typo'd decoder_options key
+            # must not surface as a bare TypeError inside every task
+            return TorchQwenDecoder(options=Qwen3VlOcrOptions.from_dict(opts))
 
         return get_or_create(key, build)
     raise ValueError(f"unknown decoder backend: {backend}")

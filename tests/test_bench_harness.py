@@ -57,3 +57,55 @@ def test_scaling_efficiency_arithmetic():
     assert out["efficiency"] == 1.0
     assert out["docs_per_sec_n"] == 100.0 and out["docs_per_sec_4n"] == 400.0
     assert out["attempts"] == 1
+
+
+def test_scaling_failed_retry_keeps_earlier_measurement():
+    """A child failure during a RETRY must not discard the valid
+    measurement attempt 1 already produced — the round's artifact should
+    carry the number plus a retry_error note, not an error dict."""
+    bench = _load_bench()
+
+    calls = {"n": 0}
+    fake_ok = {
+        8: {"cores": 8, "rows": 1, "docs": 1000, "sec": 10.0, "all_secs": [10.0]},
+        32: {"cores": 32, "rows": 1, "docs": 1000, "sec": 5.0, "all_secs": [5.0]},
+    }
+
+    def child(sf, cores, rep, reps, env):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # attempt 1: both cores succeed (eff 0.5)
+            return fake_ok[cores]
+        return {"error": "child OOM-killed"}  # attempt 2 fails
+
+    orig = bench._run_scaling_child
+    bench._run_scaling_child = child
+    try:
+        out = bench.run_scaling(
+            "ignored", lo=8, hi=32, rep=1, reps=1, retry_below=0.8, max_attempts=2
+        )
+    finally:
+        bench._run_scaling_child = orig
+    assert out["efficiency"] == 0.5  # attempt 1's number survives
+    assert out["retry_error"] == "child OOM-killed"
+    assert out["attempts"] == 2
+    # first-attempt failure still surfaces as an error (nothing to keep)
+    bench._run_scaling_child = lambda *a: {"error": "boom"}
+    try:
+        out2 = bench.run_scaling("ignored", lo=8, hi=32, rep=1, reps=1)
+    finally:
+        bench._run_scaling_child = orig
+    assert out2 == {"error": "boom"}
+
+
+def test_burn_marker_timeout_returns_none(monkeypatch):
+    """A >300 s burn IS the contended-window signal: the marker must
+    degrade to null, not crash the bench before any JSON is printed."""
+    import subprocess
+
+    bench = _load_bench()
+
+    def raise_timeout(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="burn", timeout=300)
+
+    monkeypatch.setattr(bench.subprocess, "run", raise_timeout)
+    assert bench.run_burn_marker(procs=2, reps=1) is None

@@ -99,3 +99,16 @@ def test_decoder_options_passthrough_reaches_worker_opts(monkeypatch, spark):
     assert seen["opts"]["prompt_mode"] == "ocr"
     opts = Qwen3VlOcrOptions(**seen["opts"])
     assert opts.quantization == "int4"
+
+
+def test_decoder_options_unknown_key_rejected_with_name():
+    """A typo'd decoder_options key must fail via StageOptions.from_dict's
+    extra='forbid' ValueError that NAMES the key — not a bare TypeError
+    inside every Spark task on the GPU cluster (config.py promises this
+    next to the decoder_options field)."""
+    import pytest
+
+    from docling_ocr_qwen3vl_spark.inference.decoder import get_decoder
+
+    with pytest.raises(ValueError, match="quantisation"):
+        get_decoder("qwen3vl", decoder_opts={"quantisation": "int8"})
