@@ -429,6 +429,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_batch_key():
+    """Micro-batch assignment for the streaming-dedup replay, shared with
+    the oracle's fb CTE (oracles.py STREAMING_DEDUP_SURVIVORS_SQL).
+
+    The +1 for mutants is LOAD-BEARING: the mutant offset (1,000,000) is
+    ≡ 0 mod 4, so a plain ``doc_id % 4`` would put every planted pair in
+    the SAME batch — the gate would still pass (both sides agree) while
+    silently no longer testing the cross-batch signature-store lookup.
+    tests/test_streaming_dedup.py pins that mutants and originals never
+    share a batch."""
+    return (
+        F.col("doc_id")
+        + F.when(F.col("doc_id") >= 1000000, F.lit(1)).otherwise(F.lit(0))
+    ) % 4
+
+
 def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the mutant corpus through the INCREMENTAL streaming dedup
     (streaming/incremental_dedup.py) as four deterministic micro-batches
@@ -475,11 +491,7 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the file stream watches dirs["in"] itself: stage the single
             # part file in scratch, then drop it in as b<N>.parquet
             scratch = os.path.join(root, f"scratch{b}")
-            batch_key = (
-                F.col("doc_id")
-                + F.when(F.col("doc_id") >= 1000000, F.lit(1)).otherwise(F.lit(0))
-            ) % 4
-            docs.filter(batch_key == b).coalesce(1).write.mode(
+            docs.filter(_replay_batch_key() == b).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(scratch)
             part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]

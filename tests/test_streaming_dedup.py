@@ -345,3 +345,30 @@ def test_store_read_failure_is_not_swallowed(spark, tmp_path):
     spark.range(3).write.parquet(str(tmp_path / "wrong"))
     with pytest.raises(ValueError, match="not a signature store"):
         read_signature_store(spark, str(tmp_path / "wrong"))
+
+
+def test_replay_batch_key_separates_mutants_from_originals(spark):
+    """The driver-gated replay's cross-batch guarantee rests on the batch
+    key putting every mutant (doc_id + 1,000,000, an offset ≡ 0 mod 4) in
+    a DIFFERENT batch than its original — a plain doc_id % 4 would
+    collapse every planted pair in-batch and the oracle gate would keep
+    passing while silently no longer testing the signature-store lookup.
+    Pin: mutant batch == (original batch + 1) % 4, never equal."""
+    from pyspark.sql import functions as F
+
+    from docling_ocr_qwen3vl_spark.queries import _replay_batch_key
+
+    ids = spark.range(100).select(F.col("id").alias("doc_id"))
+    originals = ids.select("doc_id", _replay_batch_key().alias("b"))
+    mutants = (
+        ids.select((F.col("doc_id") + 1_000_000).alias("doc_id"))
+        .select("doc_id", _replay_batch_key().alias("b"))
+        .select((F.col("doc_id") - 1_000_000).alias("doc_id"), "b")
+    )
+    joined = originals.alias("o").join(mutants.alias("m"), "doc_id").select(
+        F.col("o.b").alias("ob"), F.col("m.b").alias("mb")
+    )
+    rows = joined.collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r.mb == (r.ob + 1) % 4, (r.ob, r.mb)
