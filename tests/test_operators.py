@@ -576,3 +576,19 @@ def test_kmeans_over_bound_corpus_fails_loudly(spark):
     ).select("vec_id", F.col("v").cast("array<double>").alias("v"))
     with _pytest.raises(ArithmeticError, match="2\\^53"):
         kmeans_refined_cells(emb, n_cells=2, iterations=1, dim=4)
+
+
+def test_spread_for_kernel_adaptive(spark):
+    """The signature kernels repartition a NARROW input (a one-file
+    micro-batch arrives with 1-3 splits, capping the Arrow kernel at that
+    width) but must pass a wide input through untouched — at 100 TB the
+    scan has thousands of splits and an unconditional repartition would
+    shuffle the full text for nothing."""
+    from docling_ocr_qwen3vl_spark.operators.dedup import _spread_for_kernel
+
+    width = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert narrow.rdd.getNumPartitions() < width
+    assert _spread_for_kernel(narrow).rdd.getNumPartitions() == width
+    wide = spark.range(100).repartition(width * 2)
+    assert _spread_for_kernel(wide) is wide  # untouched, no extra plan node
