@@ -104,22 +104,9 @@ def _minhash_kernel(
     return tuple(mins) + bands
 
 
-def _spread_for_kernel(df: DataFrame) -> DataFrame:
-    """Engage every core before a per-row signature kernel.
-
-    A streaming micro-batch or single-file scan arrives with fewer
-    partitions than the cluster has slots (one ~40 MB stream file ->
-    1-3 parquet splits), which caps the Arrow kernel at that width no
-    matter how many cores are idle.  Round-robin repartition to
-    defaultParallelism ONLY when the input is narrower — a 100 TB scan
-    with thousands of splits passes through untouched, paying no
-    shuffle.  Measured at local[32] on an 80k-doc one-file micro-batch:
-    the k=64 kernel drops 18.4 s -> 2.2 s (8.2x)."""
-    sc = df.sparkSession.sparkContext
-    width = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < width:
-        return df.repartition(width)
-    return df
+# adaptive pre-spread for the signature kernels (see operators/partitioning.py
+# for the measurement and the wide-input pass-through guarantee)
+from .partitioning import spread_for_kernel as _spread_for_kernel
 
 
 def minhash_signature(

@@ -93,6 +93,10 @@ def parse_html_elements(
     """
     from pyspark.sql import functions as F
 
-    return pages.select(
-        "doc_id", F.col("page_no").cast("int").alias("page_no"), "payload"
+    from .partitioning import spread_for_kernel
+
+    return spread_for_kernel(
+        pages.select(
+            "doc_id", F.col("page_no").cast("int").alias("page_no"), "payload"
+        )
     ).mapInPandas(_make_parser(keep_empty_media), ELEMENTS_SCHEMA)

@@ -109,13 +109,17 @@ def parse_layout_clusters(pages: DataFrame) -> DataFrame:
     (page coordinates; the (0,0,100,100) fallback applies when the page has
     no size, layout_model.py:221).
     """
+    from .partitioning import spread_for_kernel
+
     # page size passes THROUGH the UDF (output columns) — no join needed
-    normalized = pages.select(
-        "doc_id",
-        F.col("page_no").cast("int").alias("page_no"),
-        "payload",
-        F.col("page_width").cast("double").alias("page_width"),
-        F.col("page_height").cast("double").alias("page_height"),
+    normalized = spread_for_kernel(
+        pages.select(
+            "doc_id",
+            F.col("page_no").cast("int").alias("page_no"),
+            "payload",
+            F.col("page_width").cast("double").alias("page_width"),
+            F.col("page_height").cast("double").alias("page_height"),
+        )
     ).mapInPandas(_parse_layout_batches, CLUSTERS_SCHEMA)
     sized = normalized
     has_size = (

@@ -584,11 +584,14 @@ def test_spread_for_kernel_adaptive(spark):
     width) but must pass a wide input through untouched — at 100 TB the
     scan has thousands of splits and an unconditional repartition would
     shuffle the full text for nothing."""
-    from docling_ocr_qwen3vl_spark.operators.dedup import _spread_for_kernel
+    from docling_ocr_qwen3vl_spark.operators.partitioning import spread_for_kernel
 
     width = spark.sparkContext.defaultParallelism
     narrow = spark.range(100).coalesce(1)
     assert narrow.rdd.getNumPartitions() < width
-    assert _spread_for_kernel(narrow).rdd.getNumPartitions() == width
+    assert spread_for_kernel(narrow).rdd.getNumPartitions() == width
     wide = spark.range(100).repartition(width * 2)
-    assert _spread_for_kernel(wide) is wide  # untouched, no extra plan node
+    assert spread_for_kernel(wide) is wide  # untouched, no extra plan node
+    # a streaming frame passes through (no RDD conversion exists for it)
+    stream = spark.readStream.format("rate").load()
+    assert spread_for_kernel(stream) is stream
