@@ -154,9 +154,11 @@ def _features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 def media_features(media: DataFrame) -> DataFrame:
     """Arrow-batched byte-level feature extraction over the binary column."""
-    return media.select("doc_id", "media_type", "blob").mapInPandas(
-        _features_batches, FEATURES_SCHEMA
-    )
+    from .partitioning import spread_for_kernel
+
+    return spread_for_kernel(
+        media.select("doc_id", "media_type", "blob")
+    ).mapInPandas(_features_batches, FEATURES_SCHEMA)
 
 
 DECODED_MEDIA_SCHEMA = StructType(
@@ -196,7 +198,9 @@ def decode_media(media: DataFrame, target: int = 224) -> DataFrame:
             "pinned under a mocked PIL in tests/test_media_decode.py."
         ) from exc
 
-    return media.select("doc_id", "blob").mapInPandas(
+    from .partitioning import spread_for_kernel
+
+    return spread_for_kernel(media.select("doc_id", "blob")).mapInPandas(
         _decode_media_batches(target), DECODED_MEDIA_SCHEMA
     )
 
@@ -275,7 +279,11 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=FRAME_SCHEMA.names)
 
-    return media.select("doc_id", "blob").mapInPandas(batches, FRAME_SCHEMA)
+    from .partitioning import spread_for_kernel
+
+    return spread_for_kernel(media.select("doc_id", "blob")).mapInPandas(
+        batches, FRAME_SCHEMA
+    )
 
 
 def decode_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -298,7 +306,9 @@ def decode_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             "decode control flow is pinned under a mocked av module in "
             "tests/test_media_decode.py."
         ) from exc
-    return media.select("doc_id", "blob").mapInPandas(
+    from .partitioning import spread_for_kernel
+
+    return spread_for_kernel(media.select("doc_id", "blob")).mapInPandas(
         _decode_frames_batches(n_frames), FRAME_SCHEMA
     )
 

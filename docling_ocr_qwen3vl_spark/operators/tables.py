@@ -117,8 +117,12 @@ def parse_table_cells(pages: DataFrame) -> DataFrame:
     OTSL is appended JVM-side: row = 'cell' + (cols-1)x' l cell'; rows
     joined by ' nl ' (exactly build_otsl, table_structure_model.py:152-159).
     """
-    parsed = pages.select(
-        "doc_id", F.col("page_no").cast("int").alias("page_no"), "payload"
+    from .partitioning import spread_for_kernel
+
+    parsed = spread_for_kernel(
+        pages.select(
+            "doc_id", F.col("page_no").cast("int").alias("page_no"), "payload"
+        )
     ).mapInPandas(_parse_table_batches, TABLE_CELLS_SCHEMA)
     row_str = F.concat(
         F.lit("cell"), F.expr("repeat(' l cell', n_cols - 1)")
