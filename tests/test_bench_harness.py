@@ -48,7 +48,7 @@ def test_scaling_efficiency_arithmetic():
         32: {"cores": 32, "rows": 1, "docs": 1000, "sec": 2.5, "all_secs": [2.5]},
     }
     orig = bench._run_scaling_child
-    bench._run_scaling_child = lambda sf, cores, rep, reps, env: fake[cores]
+    bench._run_scaling_child = lambda sf, cores, rep, reps, env, stop=None: fake[cores]
     try:
         out = bench.run_scaling("ignored", lo=8, hi=32, rep=1, reps=1)
     finally:
@@ -57,6 +57,47 @@ def test_scaling_efficiency_arithmetic():
     assert out["efficiency"] == 1.0
     assert out["docs_per_sec_n"] == 100.0 and out["docs_per_sec_4n"] == 400.0
     assert out["attempts"] == 1
+
+
+def test_scaling_hi_side_early_exit_target():
+    """When retry_below is set, the hi child gets an early-exit wall-time
+    target derived from the measured lo floor (lo_sec / ((hi/lo) * bar)):
+    a hi rep at/below it already proves the bar, so further draws only
+    refine a passing number.  The lo child must NEVER get one — an early
+    exit there would stop before the floor and inflate efficiency."""
+    bench = _load_bench()
+
+    seen = {}
+    fake = {
+        8: {"cores": 8, "rows": 1, "docs": 1000, "sec": 16.0, "all_secs": [16.0]},
+        32: {"cores": 32, "rows": 1, "docs": 1000, "sec": 5.0, "all_secs": [5.0]},
+    }
+
+    def child(sf, cores, rep, reps, env, stop=None):
+        seen[cores] = (reps, stop)
+        return fake[cores]
+
+    orig = bench._run_scaling_child
+    bench._run_scaling_child = child
+    try:
+        out = bench.run_scaling(
+            "ignored", lo=8, hi=32, rep=1, reps=2,
+            retry_below=0.8, max_attempts=1, hi_reps=8,
+        )
+    finally:
+        bench._run_scaling_child = orig
+    assert seen[8] == (2, None)
+    k, stop = seen[32]
+    assert k == 8  # hi_reps override reaches the child
+    assert abs(stop - 16.0 / (4 * 0.8)) < 1e-9  # = 5.0 s target
+    assert out["efficiency"] == 0.8  # (1000/5)/(1000/16)/4
+    # without retry_below there is no bar, hence no early-exit target
+    bench._run_scaling_child = child
+    try:
+        bench.run_scaling("ignored", lo=8, hi=32, rep=1, reps=2)
+    finally:
+        bench._run_scaling_child = orig
+    assert seen[32] == (4, None)  # default hi reps = reps + 2, no target
 
 
 def test_scaling_failed_retry_keeps_earlier_measurement():
@@ -71,7 +112,7 @@ def test_scaling_failed_retry_keeps_earlier_measurement():
         32: {"cores": 32, "rows": 1, "docs": 1000, "sec": 5.0, "all_secs": [5.0]},
     }
 
-    def child(sf, cores, rep, reps, env):
+    def child(sf, cores, rep, reps, env, stop=None):
         calls["n"] += 1
         if calls["n"] <= 2:  # attempt 1: both cores succeed (eff 0.5)
             return fake_ok[cores]
