@@ -458,6 +458,155 @@ def run_dedup_sweep(spark, sf_dir: str) -> dict:
     }
 
 
+def run_ann_sweep(spark, sf_dir: str) -> dict:
+    """ANN volume evidence (the similarity-family twin of run_dedup_sweep):
+    the sf embeddings table replicated SPARK_GRAFT_ANN_REP times with a
+    deterministic ~1%-of-norm hash-derived perturbation per replica (so
+    each base vector becomes a tight family of near-duplicates — the
+    structure a near-dup/similarity corpus actually has), landed as a
+    parquet corpus, then the production ANN kernel (``ivf_knn(fast=True)``,
+    the cogroup-matmul path) searched with a batched query set.
+
+    Ground truth needs NO driver-side collect of the corpus: probing every
+    IVF cell (``n_probe == N_IVF_CELLS``) through the SAME kernel is
+    exhaustive search by construction, so recall@k is measured
+    Spark-side as |ANN top-k ∩ exact top-k| / k per query.
+
+    Records throughput (queries/s, corpus-vector scores/s) AND measured
+    recall, plus the cell-occupancy shape so a skewed quantizer is visible
+    in the artifact instead of silently inflating recall."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        N_IVF_CELLS,
+        ivf_knn,
+    )
+
+    rep = int(os.environ.get("SPARK_GRAFT_ANN_REP", "128"))
+    n_queries = int(os.environ.get("SPARK_GRAFT_ANN_QUERIES", "256"))
+    k = 10
+
+    base = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_base = base.count()
+    dim = len(base.select("embedding").first()[0])
+
+    def perturbed(df, id_expr, eps):
+        """(vec_id, v): deterministic multiply-shift hash of (id, dim index)
+        -> noise in [-eps, +eps] of each coordinate's scale.  Vectorized
+        numpy inside mapInPandas; no RNG state, so any partitioning of the
+        input yields byte-identical vectors."""
+        import pandas as pd
+
+        src = df.select(
+            id_expr.alias("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+
+        def gen(batches):
+            import numpy as np
+
+            mult = np.uint64(0x9E3779B97F4A7C15)
+            add = np.uint64(0xD1B54A32D192ED03)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                ids = pdf["vec_id"].to_numpy().astype(np.uint64)
+                j = np.arange(V.shape[1], dtype=np.uint64)[None, :]
+                h = ids[:, None] * mult + (j + np.uint64(1)) * add
+                unit = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+                scale = np.linalg.norm(V, axis=1, keepdims=True) / np.sqrt(V.shape[1])
+                out = V + (unit - 0.5) * (2.0 * eps) * scale
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].to_numpy(), "v": list(out)}
+                )
+
+        return src.mapInPandas(gen, "vec_id long, v array<double>")
+
+    corpus_dir = tempfile.mkdtemp(prefix="ann_sweep_")
+    try:
+        replicated = base.crossJoin(
+            spark.range(rep).select(F.col("id").alias("rep_id"))
+        )
+        perturbed(
+            replicated,
+            (F.col("vec_id") * rep + F.col("rep_id")).cast("long"),
+            eps=0.01,
+        ).repartition(CPUS).write.mode("overwrite").parquet(corpus_dir)
+        corpus = spark.read.parquet(corpus_dir)
+        n_vectors = corpus.count()
+
+        # queries = a strongly displaced (30%-of-norm) perturbation of the
+        # first n_queries base vectors, ids offset out of the corpus range.
+        # The displacement matters: an un-displaced query sits at its
+        # replica family's center, where recall@10 is trivially 1.0 at any
+        # n_probe — displaced queries land near cell boundaries, so the
+        # recall/cost curve below measures the quantizer, not the corpus.
+        queries = perturbed(
+            base.filter(F.col("vec_id") < n_queries),
+            (F.col("vec_id") * rep + F.lit(rep) + F.lit(10_000_000_000)).cast("long"),
+            eps=0.30,
+        ).localCheckpoint(eager=True)
+
+        t0 = time.time()
+        exact = ivf_knn(
+            corpus, queries, k=k, n_probe=N_IVF_CELLS, fast=True
+        ).localCheckpoint(eager=True)
+        n_exact = exact.count()
+        exact_sec = time.time() - t0
+
+        # the classic IVF evidence is the CURVE: recall vs probed fraction
+        probes = []
+        for n_probe in (1, 2, 4):
+            t0 = time.time()
+            ann = ivf_knn(
+                corpus, queries, k=k, n_probe=n_probe, fast=True
+            ).localCheckpoint(eager=True)
+            n_ann = ann.count()
+            search_sec = time.time() - t0
+            hits = ann.join(exact, ["q_id", "n_id"], "left_semi").count()
+            probes.append(
+                {
+                    "n_probe": n_probe,
+                    "search_sec": round(search_sec, 2),
+                    "queries_per_sec": round(n_queries / search_sec, 1)
+                    if search_sec
+                    else None,
+                    "recall_at_k": round(hits / n_exact, 4) if n_exact else None,
+                    "n_ann_rows": n_ann,
+                }
+            )
+
+        from docling_ocr_qwen3vl_spark.operators.similarity import (
+            assign_ivf_cells_fast,
+        )
+
+        occ = {
+            int(r["cell"]): int(r["n"])
+            for r in assign_ivf_cells_fast(corpus)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+    return {
+        "replication": rep,
+        "n_vectors": n_vectors,
+        "n_base_vectors": n_base,
+        "dim": dim,
+        "n_queries": n_queries,
+        "k": k,
+        "n_cells": N_IVF_CELLS,
+        "exhaustive_sec": round(exact_sec, 2),
+        "probes": probes,
+        "cell_occupancy": occ,
+        "max_cell_frac": round(max(occ.values()) / n_vectors, 3) if occ else None,
+    }
+
+
 def run_streaming_dedup_sweep(
     spark, sf_dir: str, n_batches: int = 8, rep_per_batch: int = 8
 ) -> dict:
@@ -661,6 +810,7 @@ def main() -> None:
     timings["ivf_knn_fast"] = min(p["ivf_knn_fast"] for p in passes)
 
     dedup_sweep = run_dedup_sweep(spark, SF_DIR)
+    ann_sweep = run_ann_sweep(spark, SF_DIR)
 
     streaming_sweep = None
     if os.environ.get("SPARK_GRAFT_STREAM_SWEEP", "0") == "1":
@@ -681,6 +831,7 @@ def main() -> None:
         "host_burn": host_burn,
         "queries_passes": passes,
         "dedup_sweep": dedup_sweep,
+        "ann_sweep": ann_sweep,
     }
     if streaming_sweep is not None:
         result["streaming_dedup_sweep"] = streaming_sweep
