@@ -458,6 +458,39 @@ def run_dedup_sweep(spark, sf_dir: str) -> dict:
     }
 
 
+def hash_perturbed(df, id_expr, eps):
+    """(vec_id, v): deterministic multiply-shift hash of (id, dim index)
+    -> noise in [-eps, +eps] of each coordinate's scale.  Vectorized
+    numpy inside mapInPandas; no RNG state, so any partitioning of the
+    input yields byte-identical vectors (pinned by
+    tests/test_bench_harness.py::test_hash_perturbed_partition_invariant)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = df.select(
+        id_expr.alias("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        add = np.uint64(0xD1B54A32D192ED03)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy().astype(np.uint64)
+            j = np.arange(V.shape[1], dtype=np.uint64)[None, :]
+            h = ids[:, None] * mult + (j + np.uint64(1)) * add
+            unit = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            scale = np.linalg.norm(V, axis=1, keepdims=True) / np.sqrt(V.shape[1])
+            out = V + (unit - 0.5) * (2.0 * eps) * scale
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "v": list(out)})
+
+    return src.mapInPandas(gen, "vec_id long, v array<double>")
+
+
 def run_ann_sweep(spark, sf_dir: str) -> dict:
     """ANN volume evidence (the similarity-family twin of run_dedup_sweep):
     the sf embeddings table replicated SPARK_GRAFT_ANN_REP times with a
@@ -493,44 +526,12 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
     n_base = base.count()
     dim = len(base.select("embedding").first()[0])
 
-    def perturbed(df, id_expr, eps):
-        """(vec_id, v): deterministic multiply-shift hash of (id, dim index)
-        -> noise in [-eps, +eps] of each coordinate's scale.  Vectorized
-        numpy inside mapInPandas; no RNG state, so any partitioning of the
-        input yields byte-identical vectors."""
-        import pandas as pd
-
-        src = df.select(
-            id_expr.alias("vec_id"), F.col("embedding").cast("array<double>").alias("v")
-        )
-
-        def gen(batches):
-            import numpy as np
-
-            mult = np.uint64(0x9E3779B97F4A7C15)
-            add = np.uint64(0xD1B54A32D192ED03)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                V = np.stack(pdf["v"].to_numpy())
-                ids = pdf["vec_id"].to_numpy().astype(np.uint64)
-                j = np.arange(V.shape[1], dtype=np.uint64)[None, :]
-                h = ids[:, None] * mult + (j + np.uint64(1)) * add
-                unit = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-                scale = np.linalg.norm(V, axis=1, keepdims=True) / np.sqrt(V.shape[1])
-                out = V + (unit - 0.5) * (2.0 * eps) * scale
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"].to_numpy(), "v": list(out)}
-                )
-
-        return src.mapInPandas(gen, "vec_id long, v array<double>")
-
     corpus_dir = tempfile.mkdtemp(prefix="ann_sweep_")
     try:
         replicated = base.crossJoin(
             spark.range(rep).select(F.col("id").alias("rep_id"))
         )
-        perturbed(
+        hash_perturbed(
             replicated,
             (F.col("vec_id") * rep + F.col("rep_id")).cast("long"),
             eps=0.01,
@@ -544,7 +545,7 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
         # replica family's center, where recall@10 is trivially 1.0 at any
         # n_probe — displaced queries land near cell boundaries, so the
         # recall/cost curve below measures the quantizer, not the corpus.
-        queries = perturbed(
+        queries = hash_perturbed(
             base.filter(F.col("vec_id") < n_queries),
             (F.col("vec_id") * rep + F.lit(rep) + F.lit(10_000_000_000)).cast("long"),
             eps=0.30,

@@ -150,3 +150,38 @@ def test_burn_marker_timeout_returns_none(monkeypatch):
 
     monkeypatch.setattr(bench.subprocess, "run", raise_timeout)
     assert bench.run_burn_marker(procs=2, reps=1) is None
+
+
+def test_hash_perturbed_partition_invariant(spark):
+    """run_ann_sweep's replica/query generator must be a pure function of
+    (vec_id, dim index): repartitioning the input must yield byte-identical
+    vectors, the perturbation must stay within eps of each coordinate's
+    RMS scale, and distinct ids must actually move the vector (the recall
+    claim rests on replica families being tight but non-degenerate)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    bench = _load_bench()
+
+    base = spark.createDataFrame(
+        [(i, [float(i + 1)] * 8 + [0.5 * i] * 8) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def run(df):
+        rows = bench.hash_perturbed(df, F.col("vec_id"), eps=0.01).collect()
+        return {r["vec_id"]: np.array(r["v"]) for r in rows}
+
+    a = run(base.repartition(1))
+    b = run(base.repartition(7, "vec_id"))
+    assert a.keys() == b.keys()
+    for vid in a:
+        assert np.array_equal(a[vid], b[vid]), vid
+
+    orig = {r["vec_id"]: np.array(r["embedding"]) for r in base.collect()}
+    for vid, v in a.items():
+        delta = np.abs(v - orig[vid])
+        scale = np.linalg.norm(orig[vid]) / np.sqrt(len(orig[vid]))
+        assert delta.max() <= 0.01 * scale + 1e-12, vid
+        if vid > 0:  # vec_id 0's vector has nonzero norm too, but keep it simple
+            assert delta.max() > 0.0, vid
