@@ -494,7 +494,8 @@ def hash_perturbed(df, id_expr, eps):
 def run_ann_sweep(spark, sf_dir: str) -> dict:
     """ANN volume evidence (the similarity-family twin of run_dedup_sweep):
     the sf embeddings table replicated SPARK_GRAFT_ANN_REP times with a
-    deterministic ~1%-of-norm hash-derived perturbation per replica (so
+    deterministic hash-derived perturbation per replica (eps=0.01 per
+    coordinate ≈ 0.6% of norm r.m.s. displacement, so
     each base vector becomes a tight family of near-duplicates — the
     structure a near-dup/similarity corpus actually has), landed as a
     parquet corpus, then the production ANN kernel (``ivf_knn(fast=True)``,
@@ -528,51 +529,66 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
 
     corpus_dir = tempfile.mkdtemp(prefix="ann_sweep_")
     try:
+        # repartition BEFORE the perturbation UDF: the crossJoin output is
+        # a broadcast over the (often single-split) embeddings scan, so
+        # without this the numpy stage runs ~1 task on a 32-core host
         replicated = base.crossJoin(
             spark.range(rep).select(F.col("id").alias("rep_id"))
-        )
+        ).repartition(CPUS)
         hash_perturbed(
             replicated,
             (F.col("vec_id") * rep + F.col("rep_id")).cast("long"),
             eps=0.01,
-        ).repartition(CPUS).write.mode("overwrite").parquet(corpus_dir)
+        ).write.mode("overwrite").parquet(corpus_dir)
         corpus = spark.read.parquet(corpus_dir)
         n_vectors = corpus.count()
 
-        # queries = a strongly displaced (30%-of-norm) perturbation of the
-        # first n_queries base vectors, ids offset out of the corpus range.
-        # The displacement matters: an un-displaced query sits at its
-        # replica family's center, where recall@10 is trivially 1.0 at any
-        # n_probe — displaced queries land near cell boundaries, so the
-        # recall/cost curve below measures the quantizer, not the corpus.
+        # queries = a displaced perturbation of the first n_queries base
+        # vectors, ids offset out of the corpus range.  eps=0.30 bounds
+        # each COORDINATE at 0.3x the vector's RMS coordinate scale, so
+        # the vector-level displacement is ~0.3/sqrt(3) ≈ 17% of norm in
+        # expectation.  The displacement matters: an un-displaced query
+        # sits at its replica family's center, where recall@10 is
+        # trivially 1.0 at any n_probe — displaced queries land near cell
+        # boundaries, so the recall/cost curve below measures the
+        # quantizer, not the corpus.
         queries = hash_perturbed(
             base.filter(F.col("vec_id") < n_queries),
             (F.col("vec_id") * rep + F.lit(rep) + F.lit(10_000_000_000)).cast("long"),
             eps=0.30,
         ).localCheckpoint(eager=True)
+        # the env count is a cap, not a guarantee (vec_ids may be sparse
+        # or fewer than requested) — report and rate by the real count
+        n_queries_actual = queries.count()
 
-        t0 = time.time()
-        exact = ivf_knn(
-            corpus, queries, k=k, n_probe=N_IVF_CELLS, fast=True
-        ).localCheckpoint(eager=True)
-        n_exact = exact.count()
-        exact_sec = time.time() - t0
+        def timed_search(n_probe):
+            # min-of-2, matching the headline-query protocol: this host's
+            # wall-times vary ±50%, and a single draw once recorded a
+            # larger n_probe as CHEAPER than a smaller one
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                df = ivf_knn(
+                    corpus, queries, k=k, n_probe=n_probe, fast=True
+                ).localCheckpoint(eager=True)
+                n_rows = df.count()
+                sec = time.time() - t0
+                if best is None or sec < best[0]:
+                    best = (sec, df, n_rows)
+            return best
+
+        exact_sec, exact, n_exact = timed_search(N_IVF_CELLS)
 
         # the classic IVF evidence is the CURVE: recall vs probed fraction
         probes = []
         for n_probe in (1, 2, 4):
-            t0 = time.time()
-            ann = ivf_knn(
-                corpus, queries, k=k, n_probe=n_probe, fast=True
-            ).localCheckpoint(eager=True)
-            n_ann = ann.count()
-            search_sec = time.time() - t0
+            search_sec, ann, n_ann = timed_search(n_probe)
             hits = ann.join(exact, ["q_id", "n_id"], "left_semi").count()
             probes.append(
                 {
                     "n_probe": n_probe,
                     "search_sec": round(search_sec, 2),
-                    "queries_per_sec": round(n_queries / search_sec, 1)
+                    "queries_per_sec": round(n_queries_actual / search_sec, 1)
                     if search_sec
                     else None,
                     "recall_at_k": round(hits / n_exact, 4) if n_exact else None,
@@ -598,7 +614,7 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
         "n_vectors": n_vectors,
         "n_base_vectors": n_base,
         "dim": dim,
-        "n_queries": n_queries,
+        "n_queries": n_queries_actual,
         "k": k,
         "n_cells": N_IVF_CELLS,
         "exhaustive_sec": round(exact_sec, 2),
