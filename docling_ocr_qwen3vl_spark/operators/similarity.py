@@ -505,3 +505,142 @@ def _cogroup_topk(
         .cogroup(q.groupBy("cell", "salt"))
         .applyInPandas(score, f"q_id {id_sql}, n_id {id_sql}, sim double")
     )
+
+
+# --- Product quantization (PQ) -------------------------------------------
+#
+# The memory-compression scale path for billion-vector ANN (IVF-PQ):
+# each vector splits into PQ_M subvectors, each subvector quantizes to its
+# nearest entry in a per-subspace PQ_CENTROIDS-entry codebook, so a
+# 64-dim float64 vector (512 B) stores as PQ_M 4-bit codes (4 B, 128x).
+# At 10^12 documents the code table fits executor memory where the raw
+# vectors cannot; search becomes asymmetric-distance lookups against the
+# per-subspace distance tables.  Reference has no PQ (single-node engine,
+# docling_ocr/qwen3vl pipeline holds vectors in RAM) — this is part of the
+# beyond-reference similarity family.
+#
+# The codebook here is the same deterministic integer-grid construction as
+# the IVF centroids (engine-portable, no RNG/libm): production would swap
+# a trained codebook table in via the same join shape.  Expression kernel
+# = the DuckDB-oracle twin; numpy kernel = the volume path.  Both use
+# first-match argmin (lowest centroid id wins ties) and accumulate
+# squared-difference terms in ascending dimension order so the three
+# float paths (fold, numpy loop, SQL) agree at the 6dp rounding the
+# driver hashes.
+
+PQ_M = 8
+PQ_CENTROIDS = 16
+PQ_S_MULT, PQ_J_MULT, PQ_K_MULT = 48271, 69621, 16807
+
+
+def _pq_centroid_weight(s: int, j: int, k: Column) -> Column:
+    """Deterministic codebook component in [-0.5, 0.5) for subspace ``s``,
+    centroid ``j``, intra-subspace dimension ``k`` (0-based)."""
+    return (
+        (
+            (
+                F.lit(s * PQ_S_MULT + j * PQ_J_MULT).cast("long")
+                + k.cast("long") * F.lit(PQ_K_MULT)
+            )
+            % 1000
+            - 500
+        ).cast("double")
+        / 1000.0
+    )
+
+
+def _pq_sub_dist2(vec: Column, s: int, j: int, sub_dim: int) -> Column:
+    """Squared L2 of subvector ``s`` of ``vec`` to codebook entry ``j``,
+    accumulated in ascending dimension order (the cross-engine contract)."""
+    idx = F.sequence(F.lit(1), F.lit(sub_dim))
+    base = s * sub_dim
+    return F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, k: acc
+        + (F.element_at(vec, F.lit(base) + k) - _pq_centroid_weight(s, j, k - 1))
+        * (F.element_at(vec, F.lit(base) + k) - _pq_centroid_weight(s, j, k - 1)),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    vec_col: str = "v",
+    dim: int = 64,
+    m: int = PQ_M,
+    n_centroids: int = PQ_CENTROIDS,
+    fast: bool = False,
+) -> DataFrame:
+    """Product-quantize ``vec_col``: adds ``pq_code`` (codes joined with
+    '-', one per subspace, lowest-id tie-break) and ``recon_err`` (total
+    squared quantization error, 6dp).  ``fast=True`` runs the vectorized
+    numpy kernel (volume path); the expression form is the oracle twin.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    if not fast:
+        vec = F.col(vec_col)
+        codes, errs = [], []
+        for s in range(m):
+            dists = F.array(
+                *[_pq_sub_dist2(vec, s, j, sub_dim) for j in range(n_centroids)]
+            )
+            codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+            errs.append(F.array_min(dists))
+        total = errs[0]
+        for e in errs[1:]:
+            total = total + e
+        return embeddings.withColumn(
+            "pq_code", F.concat_ws("-", *[c.cast("string") for c in codes])
+        ).withColumn("recon_err", F.round(total, 6))
+
+    import numpy as np
+
+    other = [f.name for f in embeddings.schema.fields if f.name != vec_col]
+    sql_types = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in embeddings.schema.fields
+        if f.name != vec_col
+    )
+
+    # codebook C[s, j, k], identical to _pq_centroid_weight
+    s_ix = np.arange(m, dtype=np.int64)[:, None, None]
+    j_ix = np.arange(n_centroids, dtype=np.int64)[None, :, None]
+    k_ix = np.arange(sub_dim, dtype=np.int64)[None, None, :]
+    C = (
+        ((s_ix * PQ_S_MULT + j_ix * PQ_J_MULT + k_ix * PQ_K_MULT) % 1000 - 500)
+        .astype(np.float64)
+        / 1000.0
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())
+            if V.shape[1] != dim:
+                raise ValueError(f"expected dim {dim}, got {V.shape[1]}")
+            Vs = V.reshape(len(pdf), m, 1, sub_dim)
+            # accumulate over k SEQUENTIALLY (matching the fold order of
+            # the expression kernel; np.sum's pairwise association differs
+            # in the last ulp, enough to flip a 6dp boundary or a near-tie)
+            D = np.zeros((len(pdf), m, n_centroids))
+            for k in range(sub_dim):
+                diff = Vs[:, :, 0, k][:, :, None] - C[None, :, :, k]
+                D += diff * diff
+            codes = D.argmin(axis=2)  # first occurrence = lowest id
+            err = np.zeros(len(pdf))
+            for s in range(m):
+                err += D[np.arange(len(pdf)), s, codes[:, s]]
+            out = pdf[other].copy()
+            out["pq_code"] = ["-".join(str(c) for c in row) for row in codes]
+            out["recon_err"] = err
+            yield out
+
+    # round JVM-side: Spark round is HALF_UP, numpy's is HALF_EVEN — a
+    # recon_err landing exactly on a 6dp boundary must round like the
+    # expression arm does
+    return embeddings.mapInPandas(
+        encode, f"{sql_types}, pq_code string, recon_err double"
+    ).withColumn("recon_err", F.round(F.col("recon_err"), 6))

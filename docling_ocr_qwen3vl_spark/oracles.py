@@ -1017,10 +1017,57 @@ def _bucket(vec: str) -> str:
     )
 
 
-ANN_LSH_BUCKETS_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT vec_id, {_bucket('v')} AS bucket FROM e
+# PQ codebook twin of operators/similarity.py::_pq_centroid_weight /
+# _pq_sub_dist2: same integer grid, same ascending-dimension accumulation
+# order, same first-match (lowest-id) argmin via list_position
+_PQ_SUB_DIM = 8  # 64-dim embeddings / PQ_M=8 subspaces
+
+
+def _pq_sub_dist2_sql(s: int, j: int) -> str:
+    base = s * _PQ_SUB_DIM
+    c = (
+        f"(CAST((({s * 48271 + j * 69621}::BIGINT + (k - 1)::BIGINT * 16807)"
+        f" % 1000 - 500) AS DOUBLE) / 1000.0)"
+    )
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_SUB_DIM + 1}), "
+        f"k -> (v[{base} + k] - {c}) * (v[{base} + k] - {c})))"
+    )
+
+
+def _ann_features_core() -> str:
+    ds_cols = ",\n  ".join(
+        "["
+        + ", ".join(_pq_sub_dist2_sql(s, j) for j in range(16))
+        + f"] AS ds{s}"
+        for s in range(8)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(ds{s}, list_min(ds{s})) - 1 AS VARCHAR)"
+        for s in range(8)
+    )
+    err = " + ".join(f"list_min(ds{s})" for s in range(8))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, {_bucket('v')} AS bucket,
+  {ds_cols}
+  FROM e)
+SELECT vec_id, bucket, concat_ws('-', {codes}) AS pq_code,
+  CAST(round({err}, 6) AS DOUBLE) AS recon_err
+FROM d
 """
+
+
+# both kernel arms against the SAME declarative SQL (knn_batch precedent):
+# the numpy bucket/PQ kernels claim to reproduce the expression semantics
+# exactly, so their oracle IS the expression oracle
+ANN_LSH_BUCKETS_SQL = (
+    "SELECT vec_id, bucket, pq_code, recon_err, 'expr' AS kernel FROM (\n"
+    + _ann_features_core()
+    + ")\nUNION ALL\nSELECT vec_id, bucket, pq_code, recon_err, 'fast' AS kernel FROM (\n"
+    + _ann_features_core()
+    + ")"
+)
 
 EMBEDDING_NEAR_DUP_SQL = f"""
 WITH e AS (

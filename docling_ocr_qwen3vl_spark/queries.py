@@ -1013,13 +1013,29 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane sign buckets over the embedding column."""
-    from .operators.similarity import assign_buckets
+    """Per-vector ANN index features, both kernels under a kernel key:
+    random-hyperplane LSH sign bucket + product-quantization code (PQ_M=8
+    subspaces x 16 centroids, the 128x memory-compression scale path for
+    billion-vector ANN) + total squared reconstruction error.  The 'fast'
+    arm runs the numpy volume kernels (vectorized bucket projection +
+    vectorized PQ encode) against the SAME declarative oracle SQL as the
+    expression arm — the driver row proves the volume kernels reproduce
+    the declarative semantics (codes, tie-breaks, 6dp errors)."""
+    from .operators.similarity import assign_buckets, assign_buckets_fast, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return assign_buckets(emb).select("vec_id", "bucket")
+    out = None
+    for kernel, fast in (("expr", False), ("fast", True)):
+        assign = assign_buckets_fast if fast else assign_buckets
+        part = (
+            pq_encode(assign(emb), fast=fast)
+            .select("vec_id", "bucket", "pq_code", "recon_err")
+            .withColumn("kernel", F.lit(kernel))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
