@@ -598,7 +598,20 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
 
         from docling_ocr_qwen3vl_spark.operators.similarity import (
             assign_ivf_cells_fast,
+            pq_encode,
         )
+
+        # PQ encode over the full corpus (the claimed memory-compression
+        # scale path must carry volume evidence like everything else):
+        # min-of-2, noop sink so every output column materializes
+        pq_sec = None
+        for _ in range(2):
+            t0 = time.time()
+            pq_encode(corpus, dim=dim, fast=True).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sec = time.time() - t0
+            pq_sec = sec if pq_sec is None else min(pq_sec, sec)
 
         occ = {
             int(r["cell"]): int(r["n"])
@@ -619,6 +632,8 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
         "n_cells": N_IVF_CELLS,
         "exhaustive_sec": round(exact_sec, 2),
         "probes": probes,
+        "pq_encode_sec": round(pq_sec, 2),
+        "pq_vectors_per_sec": round(n_vectors / pq_sec, 1) if pq_sec else None,
         "cell_occupancy": occ,
         "max_cell_frac": round(max(occ.values()) / n_vectors, 3) if occ else None,
     }
