@@ -644,3 +644,85 @@ def pq_encode(
     return embeddings.mapInPandas(
         encode, f"{sql_types}, pq_code string, recon_err double"
     ).withColumn("recon_err", F.round(F.col("recon_err"), 6))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    m: int = PQ_M,
+    n_centroids: int = PQ_CENTROIDS,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    fast: bool = False,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    IVF-PQ.  Each query precomputes an m x n_centroids distance table
+    (squared L2 of its subvectors to every codebook entry); a candidate's
+    approximate distance is the sum of table entries at its codes, so the
+    scan touches ONLY the 4-bit codes, never the raw vectors.  The k
+    winners per query are then re-rank-fetched against the corpus vectors
+    for their TRUE cosine (the bounded fetch real PQ systems do) — output
+    (q_id, n_id, cosine, rank) ranked by ADC distance (ascending,
+    n_id tie-break), cosines 6dp.
+
+    ``fast`` selects the code-generation kernel (pq_encode); the ADC sum
+    itself is pure element_at arithmetic, identical either way.  The
+    query side broadcasts (tables are m x n_centroids doubles per query);
+    at 10^12 vectors the code scan is ~dim x 8 / (m x 4) = 128x less I/O
+    than the raw-vector scan the exact kernels need."""
+    from pyspark.sql import Window
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+
+    codes = pq_encode(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv")),
+        vec_col="cv",
+        dim=dim,
+        m=m,
+        n_centroids=n_centroids,
+        fast=fast,
+    ).select(
+        "n_id",
+        *[
+            F.split("pq_code", "-").getItem(s).cast("int").alias(f"c{s}")
+            for s in range(m)
+        ],
+    )
+    qv = F.col(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        qv.alias("qv"),
+        *[
+            F.array(
+                *[_pq_sub_dist2(qv, s, j, sub_dim) for j in range(n_centroids)]
+            ).alias(f"ds{s}")
+            for s in range(m)
+        ],
+    )
+    # deliberate bounded broadcast nested-loop: |queries| rows of
+    # m x n_centroids tables against the code scan (the production shape)
+    adist = F.element_at(F.col("ds0"), F.col("c0") + 1)
+    for s in range(1, m):
+        adist = adist + F.element_at(F.col(f"ds{s}"), F.col(f"c{s}") + 1)
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        "q_id", "n_id", "qv", adist.alias("adc")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("n_id"))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "qv", "rank")
+    )
+    return ranked.join(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv")),
+        "n_id",
+    ).select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -1243,12 +1243,61 @@ SELECT q_id, n_id, round(sim, 6) AS cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
-# both probe depths unioned under (n_probe, kernel) keys (matches
-# q_knn_batch).  The 'fast' arm deliberately reuses the n_probe=2 SQL
-# verbatim: the numpy cogroup-matmul kernel claims to reproduce the
-# declarative expression semantics exactly (same cells, same top-k, same
+# PQ-ADC search twin of operators/similarity.py::pq_adc_topk: candidates
+# ranked by the sum of per-subspace distance-table entries at their codes
+# (ascending, n_id tie-break), true cosine reported for the k winners.
+# The d CTE's per-vector distance arrays serve BOTH roles — a corpus
+# vector's argmin over ds{s} is its code, a query vector's ds{s} IS its
+# ADC distance table.
+def _pq_adc_sql() -> str:
+    ds_cols = ",\n  ".join(
+        "["
+        + ", ".join(_pq_sub_dist2_sql(s, j) for j in range(16))
+        + f"] AS ds{s}"
+        for s in range(8)
+    )
+    code_cols = ",\n    ".join(
+        f"CAST(list_position(ds{s}, list_min(ds{s})) - 1 AS INTEGER) AS c{s}"
+        for s in range(8)
+    )
+    adc = " + ".join(f"q.ds{s}[cd.c{s} + 1]" for s in range(8))
+    q_ds = ", ".join(f"ds{s}" for s in range(8))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, v,
+  {ds_cols}
+  FROM e),
+cd AS (
+  SELECT vec_id AS n_id, v AS cv,
+    {code_cols}
+  FROM d WHERE vec_id >= 10
+),
+q AS (SELECT vec_id AS q_id, v AS qv, {q_ds} FROM d WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, cd.n_id, cd.cv, q.qv, {adc} AS adc
+  FROM cd CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, n_id, cv, qv,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, n_id,
+  round(list_dot_product(cv, qv)
+    / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine,
+  rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# all arms unioned under (n_probe, kernel) keys (matches q_knn_batch).
+# The 'fast' arm deliberately reuses the n_probe=2 SQL verbatim: the
+# numpy cogroup-matmul kernel claims to reproduce the declarative
+# expression semantics exactly (same cells, same top-k, same
 # (sim desc, n_id) tie-order, same 6dp-rounded cosines), so its oracle IS
-# the expression oracle.
+# the expression oracle.  The 'pq_adc' arm (n_probe=0: full code scan, no
+# cell pruning) checks the PQ search path end-to-end — codes, distance
+# tables, ADC ranking, true-cosine re-rank fetch.
 KNN_BATCH_SQL = (
     "SELECT q_id, n_id, cosine, rank, 1 AS n_probe, 'expr' AS kernel FROM (\n"
     + _knn_batch_sql(1)
@@ -1256,6 +1305,8 @@ KNN_BATCH_SQL = (
     + _knn_batch_sql(2)
     + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 2 AS n_probe, 'fast' AS kernel FROM (\n"
     + _knn_batch_sql(2)
+    + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 0 AS n_probe, 'pq_adc' AS kernel FROM (\n"
+    + _pq_adc_sql()
     + ")"
 )
 

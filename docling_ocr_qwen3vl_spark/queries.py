@@ -1091,8 +1091,11 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell cogroup matmul top-k, the 57x volume kernel) against the SAME
     declarative oracle SQL as the expression arm — the driver row is the
     proof the volume kernel reproduces the declarative semantics, not just
-    the pytest rank-parity check."""
-    from .operators.similarity import ivf_knn
+    the pytest rank-parity check.  The 'pq_adc' arm (n_probe=0: full code
+    scan, no cell pruning) runs the PQ search path — 4-bit codes ranked by
+    per-query distance-table sums, true cosine re-rank-fetched for the k
+    winners — against its own declarative oracle SQL."""
+    from .operators.similarity import ivf_knn, pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1109,7 +1112,12 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("kernel", F.lit(kernel))
         )
         out = part if out is None else out.unionByName(part)
-    return out
+    adc = (
+        pq_adc_topk(corpus, queries, fast=True)
+        .withColumn("n_probe", F.lit(0))
+        .withColumn("kernel", F.lit("pq_adc"))
+    )
+    return out.unionByName(adc)
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,9 +19,12 @@ from pyspark.sql import functions as F
 from docling_ocr_qwen3vl_spark.queries import QUERIES
 
 # name -> max tolerated BroadcastNestedLoopJoin occurrences: the bound is
-# per-query so a SECOND accidental nested loop (e.g. a broken equi-join in
-# knn_batch's expression arms) still fails the sweep
-ALLOWED_NESTED_LOOP = {"knn_bruteforce": 1, "knn_batch": 1}
+# per-query so a FURTHER accidental nested loop (e.g. a broken equi-join
+# in knn_batch's expression arms) still fails the sweep.  knn_batch's two
+# deliberate loops: the exactness-baseline broadcast and the pq_adc arm's
+# bounded |queries|-row distance-table broadcast against the code scan
+# (the production ADC shape — scoring touches codes only).
+ALLOWED_NESTED_LOOP = {"knn_bruteforce": 1, "knn_batch": 2}
 
 # fixpoint loops / eager builders: whole-query plan construction runs jobs
 # (driver-loop collects or an eager localCheckpoint), so the sweep would

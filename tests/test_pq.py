@@ -88,3 +88,23 @@ def test_fast_kernel_rejects_wrong_dim(spark):
     )
     with pytest.raises(Exception, match="expected dim"):
         pq_encode(df, fast=True).collect()
+
+
+def test_pq_adc_code_kernels_agree(spark):
+    """pq_adc_topk's `fast` flag only swaps the code-generation kernel;
+    the ranked output must be identical either way (the driver arm runs
+    fast=True against the declarative oracle, which models expr codes)."""
+    emb = _emb(spark)
+    from docling_ocr_qwen3vl_spark.operators.similarity import pq_adc_topk
+
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def rows(fast):
+        return sorted(
+            (r["q_id"], r["rank"], r["n_id"], r["cosine"])
+            for r in pq_adc_topk(corpus, queries, fast=fast).collect()
+        )
+
+    a, b = rows(False), rows(True)
+    assert a == b and len(a) == 30  # 10 queries x top-3
