@@ -613,6 +613,20 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
             sec = time.time() - t0
             pq_sec = sec if pq_sec is None else min(pq_sec, sec)
 
+        # PQ-ADC search (numpy cogroup scan over codes, end-to-end:
+        # encode + table build + gather ranking + true-cosine re-rank
+        # fetch), same min-of-2 protocol as the probe curve
+        from docling_ocr_qwen3vl_spark.operators.similarity import pq_adc_topk
+
+        adc_sec = None
+        for _ in range(2):
+            t0 = time.time()
+            pq_adc_topk(
+                corpus, queries, k=k, dim=dim, fast_scan=True
+            ).write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
+            adc_sec = sec if adc_sec is None else min(adc_sec, sec)
+
         occ = {
             int(r["cell"]): int(r["n"])
             for r in assign_ivf_cells_fast(corpus)
@@ -634,6 +648,10 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
         "probes": probes,
         "pq_encode_sec": round(pq_sec, 2),
         "pq_vectors_per_sec": round(n_vectors / pq_sec, 1) if pq_sec else None,
+        "pq_adc_search_sec": round(adc_sec, 2),
+        "pq_adc_queries_per_sec": round(n_queries_actual / adc_sec, 1)
+        if adc_sec
+        else None,
         "cell_occupancy": occ,
         "max_cell_frac": round(max(occ.values()) / n_vectors, 3) if occ else None,
     }

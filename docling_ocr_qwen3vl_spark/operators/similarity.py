@@ -533,6 +533,21 @@ PQ_CENTROIDS = 16
 PQ_S_MULT, PQ_J_MULT, PQ_K_MULT = 48271, 69621, 16807
 
 
+def _pq_codebook_np(m: int, n_centroids: int, sub_dim: int):
+    """numpy codebook C[s, j, k], identical to _pq_centroid_weight —
+    the single construction every numpy PQ kernel must share."""
+    import numpy as np
+
+    s_ix = np.arange(m, dtype=np.int64)[:, None, None]
+    j_ix = np.arange(n_centroids, dtype=np.int64)[None, :, None]
+    k_ix = np.arange(sub_dim, dtype=np.int64)[None, None, :]
+    return (
+        ((s_ix * PQ_S_MULT + j_ix * PQ_J_MULT + k_ix * PQ_K_MULT) % 1000 - 500)
+        .astype(np.float64)
+        / 1000.0
+    )
+
+
 def _pq_centroid_weight(s: int, j: int, k: Column) -> Column:
     """Deterministic codebook component in [-0.5, 0.5) for subspace ``s``,
     centroid ``j``, intra-subspace dimension ``k`` (0-based)."""
@@ -604,15 +619,7 @@ def pq_encode(
         if f.name != vec_col
     )
 
-    # codebook C[s, j, k], identical to _pq_centroid_weight
-    s_ix = np.arange(m, dtype=np.int64)[:, None, None]
-    j_ix = np.arange(n_centroids, dtype=np.int64)[None, :, None]
-    k_ix = np.arange(sub_dim, dtype=np.int64)[None, None, :]
-    C = (
-        ((s_ix * PQ_S_MULT + j_ix * PQ_J_MULT + k_ix * PQ_K_MULT) % 1000 - 500)
-        .astype(np.float64)
-        / 1000.0
-    )
+    C = _pq_codebook_np(m, n_centroids, sub_dim)
 
     def encode(batches):
         for pdf in batches:
@@ -656,6 +663,7 @@ def pq_adc_topk(
     vec_col: str = "v",
     id_col: str = "vec_id",
     fast: bool = False,
+    fast_scan: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
     IVF-PQ.  Each query precomputes an m x n_centroids distance table
@@ -668,10 +676,17 @@ def pq_adc_topk(
     n_id tie-break), cosines 6dp.
 
     ``fast`` selects the code-generation kernel (pq_encode); the ADC sum
-    itself is pure element_at arithmetic, identical either way.  The
-    query side broadcasts (tables are m x n_centroids doubles per query);
-    at 10^12 vectors the code scan is ~dim x 8 / (m x 4) = 128x less I/O
-    than the raw-vector scan the exact kernels need."""
+    itself is pure element_at arithmetic, identical either way.
+    ``fast_scan=True`` replaces the per-candidate element_at scoring with
+    the numpy volume kernel: codes cogroup with the replicated query set
+    over deterministic salt shards (no driver collect, |corpus|/n_salts
+    bounded pandas blocks — the _cogroup_topk shape), each shard builds
+    the query distance tables once, gathers + sums table entries per
+    candidate in sequential subspace order (the cross-kernel float
+    contract), and emits its per-query top-k for the global window merge.
+    The query side broadcasts (tables are m x n_centroids doubles per
+    query); at 10^12 vectors the code scan is ~dim x 8 / (m x 4) = 128x
+    less I/O than the raw-vector scan the exact kernels need."""
     from pyspark.sql import Window
 
     if dim % m:
@@ -684,7 +699,7 @@ def pq_adc_topk(
         dim=dim,
         m=m,
         n_centroids=n_centroids,
-        fast=fast,
+        fast=fast or fast_scan,
     ).select(
         "n_id",
         *[
@@ -692,37 +707,123 @@ def pq_adc_topk(
             for s in range(m)
         ],
     )
-    qv = F.col(vec_col)
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        qv.alias("qv"),
-        *[
-            F.array(
-                *[_pq_sub_dist2(qv, s, j, sub_dim) for j in range(n_centroids)]
-            ).alias(f"ds{s}")
-            for s in range(m)
-        ],
-    )
-    # deliberate bounded broadcast nested-loop: |queries| rows of
-    # m x n_centroids tables against the code scan (the production shape)
-    adist = F.element_at(F.col("ds0"), F.col("c0") + 1)
-    for s in range(1, m):
-        adist = adist + F.element_at(F.col(f"ds{s}"), F.col(f"c{s}") + 1)
-    scored = codes.crossJoin(F.broadcast(q)).select(
-        "q_id", "n_id", "qv", adist.alias("adc")
-    )
+    if fast_scan:
+        scored = _pq_adc_cogroup(
+            codes, queries, k, m, n_centroids, sub_dim, vec_col, id_col,
+            id_type=corpus.schema[id_col].dataType,
+        )
+    else:
+        qv = F.col(vec_col)
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            qv.alias("qv"),
+            *[
+                F.array(
+                    *[_pq_sub_dist2(qv, s, j, sub_dim) for j in range(n_centroids)]
+                ).alias(f"ds{s}")
+                for s in range(m)
+            ],
+        )
+        # deliberate bounded broadcast nested-loop: |queries| rows of
+        # m x n_centroids tables against the code scan (the production shape)
+        adist = F.element_at(F.col("ds0"), F.col("c0") + 1)
+        for s in range(1, m):
+            adist = adist + F.element_at(F.col(f"ds{s}"), F.col(f"c{s}") + 1)
+        scored = codes.crossJoin(F.broadcast(q)).select(
+            "q_id", "n_id", adist.alias("adc")
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("n_id"))
     ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "qv", "rank")
+        .select("q_id", "n_id", "rank")
     )
-    return ranked.join(
-        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv")),
-        "n_id",
-    ).select(
-        "q_id",
-        "n_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
-        F.col("rank").cast("int").alias("rank"),
+    # true-cosine re-rank fetch: only the k winners per query touch raw
+    # vectors (corpus side is a bounded semi-fetch, query side broadcasts)
+    return (
+        ranked.join(
+            corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv")),
+            "n_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+                )
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _pq_adc_cogroup(
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int,
+    n_centroids: int,
+    sub_dim: int,
+    vec_col: str,
+    id_col: str,
+    id_type=None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """ADC volume scoring: (q_id, n_id, adc) candidates, per-query top-k
+    per salt shard (the global window in pq_adc_topk merges shards).
+
+    Codes shard deterministically on n_id; queries replicate to every
+    shard (bounded broadcast).  Each shard builds the m x n_centroids
+    distance tables from the raw query vectors with the SAME sequential
+    accumulation the expression/oracle kernels use, then scores each
+    candidate by gathering its m table entries in ascending subspace
+    order — bit-identical adc values to the element_at plan, so the
+    merged ranking (adc asc, n_id asc via lexsort) is too."""
+    import numpy as np
+
+    id_sql = (id_type.simpleString() if id_type is not None else "bigint")
+    C = _pq_codebook_np(m, n_centroids, sub_dim)
+    c = codes.withColumn("salt", F.pmod(F.xxhash64("n_id"), F.lit(n_salts)))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    ).join(
+        F.broadcast(
+            queries.sparkSession.range(n_salts).select(F.col("id").alias("salt"))
+        ),
+        how="cross",
+    )
+    code_cols = [f"c{s}" for s in range(m)]
+
+    def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
+        Q = np.stack(qdf["qv"].to_numpy()).reshape(len(qdf), m, 1, sub_dim)
+        T = np.zeros((len(qdf), m, n_centroids))
+        for kk in range(sub_dim):
+            diff = Q[:, :, 0, kk][:, :, None] - C[None, :, :, kk]
+            T += diff * diff
+        codes_np = cdf[code_cols].to_numpy()  # (n, m)
+        n_ids = cdf["n_id"].to_numpy()
+        q_ids = qdf["q_id"].to_numpy()
+        take = min(k, len(cdf))
+        out_q, out_n, out_a = [], [], []
+        for qi in range(len(qdf)):
+            adc = np.zeros(len(cdf))
+            for s in range(m):
+                adc += T[qi, s, codes_np[:, s]]
+            order = np.lexsort((n_ids, adc))[:take]
+            out_q.extend([q_ids[qi]] * take)
+            out_n.extend(n_ids[order])
+            out_a.extend(adc[order])
+        return pd.DataFrame({"q_id": out_q, "n_id": out_n, "adc": out_a})
+
+    return (
+        c.groupBy("salt")
+        .cogroup(q.groupBy("salt"))
+        .applyInPandas(score, f"q_id {id_sql}, n_id {id_sql}, adc double")
     )

@@ -1307,6 +1307,8 @@ KNN_BATCH_SQL = (
     + _knn_batch_sql(2)
     + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 0 AS n_probe, 'pq_adc' AS kernel FROM (\n"
     + _pq_adc_sql()
+    + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 0 AS n_probe, 'pq_adc_fast' AS kernel FROM (\n"
+    + _pq_adc_sql()
     + ")"
 )
 

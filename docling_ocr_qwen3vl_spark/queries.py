@@ -1112,12 +1112,14 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("kernel", F.lit(kernel))
         )
         out = part if out is None else out.unionByName(part)
-    adc = (
-        pq_adc_topk(corpus, queries, fast=True)
-        .withColumn("n_probe", F.lit(0))
-        .withColumn("kernel", F.lit("pq_adc"))
-    )
-    return out.unionByName(adc)
+    for kernel, fast_scan in (("pq_adc", False), ("pq_adc_fast", True)):
+        adc = (
+            pq_adc_topk(corpus, queries, fast=True, fast_scan=fast_scan)
+            .withColumn("n_probe", F.lit(0))
+            .withColumn("kernel", F.lit(kernel))
+        )
+        out = out.unionByName(adc)
+    return out
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

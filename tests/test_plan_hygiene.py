@@ -20,11 +20,12 @@ from docling_ocr_qwen3vl_spark.queries import QUERIES
 
 # name -> max tolerated BroadcastNestedLoopJoin occurrences: the bound is
 # per-query so a FURTHER accidental nested loop (e.g. a broken equi-join
-# in knn_batch's expression arms) still fails the sweep.  knn_batch's two
-# deliberate loops: the exactness-baseline broadcast and the pq_adc arm's
-# bounded |queries|-row distance-table broadcast against the code scan
-# (the production ADC shape — scoring touches codes only).
-ALLOWED_NESTED_LOOP = {"knn_bruteforce": 1, "knn_batch": 2}
+# in knn_batch's expression arms) still fails the sweep.  knn_batch's
+# three deliberate loops: the fast arm's 16-row salt replicate, the
+# pq_adc arm's bounded |queries|-row distance-table broadcast against the
+# code scan (the production ADC shape — scoring touches codes only), and
+# the pq_adc_fast arm's 16-row salt replicate of the query set.
+ALLOWED_NESTED_LOOP = {"knn_bruteforce": 1, "knn_batch": 3}
 
 # fixpoint loops / eager builders: whole-query plan construction runs jobs
 # (driver-loop collects or an eager localCheckpoint), so the sweep would

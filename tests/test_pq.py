@@ -108,3 +108,22 @@ def test_pq_adc_code_kernels_agree(spark):
 
     a, b = rows(False), rows(True)
     assert a == b and len(a) == 30  # 10 queries x top-3
+
+
+def test_pq_adc_fast_scan_matches_expression_scan(spark):
+    """The numpy cogroup ADC kernel (fast_scan) must reproduce the
+    element_at expression plan exactly — same winners, ranks, cosines —
+    the claim its driver arm makes against the shared oracle SQL."""
+    emb = _emb(spark)
+    from docling_ocr_qwen3vl_spark.operators.similarity import pq_adc_topk
+
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def rows(**kw):
+        return sorted(
+            (r["q_id"], r["rank"], r["n_id"], r["cosine"])
+            for r in pq_adc_topk(corpus, queries, **kw).collect()
+        )
+
+    assert rows(fast=True) == rows(fast_scan=True)
