@@ -612,11 +612,10 @@ def pq_encode(
 
     import numpy as np
 
-    other = [f.name for f in embeddings.schema.fields if f.name != vec_col]
+    # output carries EVERY input column (vec_col included) so flipping the
+    # kernel flag never changes the schema a downstream select resolves
     sql_types = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in embeddings.schema.fields
-        if f.name != vec_col
+        f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields
     )
 
     C = _pq_codebook_np(m, n_centroids, sub_dim)
@@ -640,7 +639,7 @@ def pq_encode(
             err = np.zeros(len(pdf))
             for s in range(m):
                 err += D[np.arange(len(pdf)), s, codes[:, s]]
-            out = pdf[other].copy()
+            out = pdf.copy()
             out["pq_code"] = ["-".join(str(c) for c in row) for row in codes]
             out["recon_err"] = err
             yield out
@@ -685,8 +684,9 @@ def pq_adc_topk(
     candidate in sequential subspace order (the cross-kernel float
     contract), and emits its per-query top-k for the global window merge.
     The query side broadcasts (tables are m x n_centroids doubles per
-    query); at 10^12 vectors the code scan is ~dim x 8 / (m x 4) = 128x
-    less I/O than the raw-vector scan the exact kernels need."""
+    query); at 10^12 vectors the code scan reads m x 4 bits = 4 B per
+    vector vs dim x 8 B = 512 B raw — (dim x 64) / (m x 4) = 128x less
+    I/O than the raw-vector scan the exact kernels need."""
     from pyspark.sql import Window
 
     if dim % m:

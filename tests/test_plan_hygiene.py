@@ -1,11 +1,14 @@
 """Plan-hygiene sweep over EVERY registered query: no accidental cartesian
 products or broadcast nested-loop joins anywhere in the surface.
 
-Two allowlisted exceptions: knn_bruteforce deliberately crossJoins a
-broadcast ONE-ROW query vector (the exactness baseline; the ANN paths are
-the scale alternatives), and knn_batch's fast arm crossJoins a broadcast
-16-row salt table to replicate queries over the salted corpus shards
-(bounded by n_salts, never corpus-proportional — see _cogroup_topk).
+Allowlisted exceptions (ALLOWED_NESTED_LOOP below): knn_bruteforce
+deliberately crossJoins a broadcast ONE-ROW query vector (the exactness
+baseline; the ANN paths are the scale alternatives), and knn_batch
+carries three deliberate bounded loops — the fast arm's broadcast 16-row
+salt-table replicate (bounded by n_salts, never corpus-proportional —
+see _cogroup_topk), the pq_adc arm's broadcast |queries|-row
+distance-table scan over the codes, and the pq_adc_fast arm's 16-row
+salt replicate of the query set.
 
 The driver-loop queries (dup_components, dedup_survivors, ivf_kmeans)
 execute jobs during plan CONSTRUCTION, so their whole-loop plan cannot be

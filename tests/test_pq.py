@@ -22,19 +22,16 @@ from docling_ocr_qwen3vl_spark.operators.similarity import (
     pq_encode,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
-
-
-def _emb(spark):
-    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
 
-def test_expr_and_fast_kernels_agree_exactly(spark):
+def test_expr_and_fast_kernels_agree_exactly(spark, sf_dir):
     """Same codes AND same 6dp reconstruction errors on the real gate
     table — the property the shared oracle SQL certifies driver-side."""
-    emb = _emb(spark)
+    emb = _emb(spark, sf_dir)
     expr = {
         r["vec_id"]: (r["pq_code"], r["recon_err"])
         for r in pq_encode(emb).select("vec_id", "pq_code", "recon_err").collect()
@@ -47,8 +44,8 @@ def test_expr_and_fast_kernels_agree_exactly(spark):
     assert expr == fast
 
 
-def test_codes_shape_and_range(spark):
-    rows = pq_encode(_emb(spark), fast=True).limit(50).collect()
+def test_codes_shape_and_range(spark, sf_dir):
+    rows = pq_encode(_emb(spark, sf_dir), fast=True).limit(50).collect()
     assert rows
     for r in rows:
         parts = r["pq_code"].split("-")
@@ -57,12 +54,12 @@ def test_codes_shape_and_range(spark):
         assert r["recon_err"] >= 0.0
 
 
-def test_fast_kernel_matches_hand_computed_codebook(spark):
+def test_fast_kernel_matches_hand_computed_codebook(spark, sf_dir):
     """One vector, codes recomputed in straight numpy from the published
     grid constants — pins the (s, j, k) -> weight layout against an
     accidental index transposition in either kernel."""
-    row = pq_encode(_emb(spark).filter(F.col("vec_id") == 0), fast=True).first()
-    v = np.array(_emb(spark).filter(F.col("vec_id") == 0).first()["v"])
+    row = pq_encode(_emb(spark, sf_dir).filter(F.col("vec_id") == 0), fast=True).first()
+    v = np.array(_emb(spark, sf_dir).filter(F.col("vec_id") == 0).first()["v"])
     m, nc, sub = PQ_M, PQ_CENTROIDS, len(v) // PQ_M
     expected = []
     for s in range(m):
@@ -77,12 +74,12 @@ def test_fast_kernel_matches_hand_computed_codebook(spark):
     assert row["pq_code"] == "-".join(str(c) for c in expected)
 
 
-def test_dim_not_divisible_raises(spark):
+def test_dim_not_divisible_raises(spark, sf_dir):
     with pytest.raises(ValueError, match="not divisible"):
-        pq_encode(_emb(spark), dim=60)
+        pq_encode(_emb(spark, sf_dir), dim=60)
 
 
-def test_fast_kernel_rejects_wrong_dim(spark):
+def test_fast_kernel_rejects_wrong_dim(spark, sf_dir):
     df = spark.createDataFrame(
         [(1, [0.1] * 8)], "vec_id long, v array<double>"
     )
@@ -90,11 +87,11 @@ def test_fast_kernel_rejects_wrong_dim(spark):
         pq_encode(df, fast=True).collect()
 
 
-def test_pq_adc_code_kernels_agree(spark):
+def test_pq_adc_code_kernels_agree(spark, sf_dir):
     """pq_adc_topk's `fast` flag only swaps the code-generation kernel;
     the ranked output must be identical either way (the driver arm runs
     fast=True against the declarative oracle, which models expr codes)."""
-    emb = _emb(spark)
+    emb = _emb(spark, sf_dir)
     from docling_ocr_qwen3vl_spark.operators.similarity import pq_adc_topk
 
     corpus = emb.filter(F.col("vec_id") >= 10)
@@ -110,11 +107,11 @@ def test_pq_adc_code_kernels_agree(spark):
     assert a == b and len(a) == 30  # 10 queries x top-3
 
 
-def test_pq_adc_fast_scan_matches_expression_scan(spark):
+def test_pq_adc_fast_scan_matches_expression_scan(spark, sf_dir):
     """The numpy cogroup ADC kernel (fast_scan) must reproduce the
     element_at expression plan exactly — same winners, ranks, cosines —
     the claim its driver arm makes against the shared oracle SQL."""
-    emb = _emb(spark)
+    emb = _emb(spark, sf_dir)
     from docling_ocr_qwen3vl_spark.operators.similarity import pq_adc_topk
 
     corpus = emb.filter(F.col("vec_id") >= 10)
@@ -127,3 +124,23 @@ def test_pq_adc_fast_scan_matches_expression_scan(spark):
         )
 
     assert rows(fast=True) == rows(fast_scan=True)
+
+
+def test_kernel_flag_never_changes_schema(spark, sf_dir):
+    """fast=True must return the SAME columns (names, order, types) as the
+    expression kernel — including the vector column — so a caller that
+    chains on vec_col works under either flag (review finding r5)."""
+    emb = _emb(spark, sf_dir)
+    expr_schema = pq_encode(emb).schema
+    fast_schema = pq_encode(emb, fast=True).schema
+    assert [f.name for f in fast_schema.fields] == [
+        f.name for f in expr_schema.fields
+    ]
+    # and the vector column stays usable downstream under the fast kernel
+    n = (
+        pq_encode(emb, fast=True)
+        .select("vec_id", "pq_code", F.size("v").alias("d"))
+        .filter(F.col("d") == 64)
+        .count()
+    )
+    assert n == emb.count()
