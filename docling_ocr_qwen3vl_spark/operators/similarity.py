@@ -709,7 +709,11 @@ def pq_adc_topk(
     )
     if fast_scan:
         scored = _pq_adc_cogroup(
-            codes, queries, k, m, n_centroids, sub_dim, vec_col, id_col,
+            codes,
+            queries.select(
+                F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+            ),
+            k, m, n_centroids, sub_dim,
             id_type=corpus.schema[id_col].dataType,
         )
     else:
@@ -732,14 +736,28 @@ def pq_adc_topk(
         scored = codes.crossJoin(F.broadcast(q)).select(
             "q_id", "n_id", adist.alias("adc")
         )
+    return _adc_rank_and_rerank(scored, corpus, queries, k, vec_col, id_col)
+
+
+def _adc_rank_and_rerank(
+    scored: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared ADC tail: global (adc asc, n_id) window top-k, then the
+    true-cosine re-rank fetch — only the k winners per query touch raw
+    vectors (corpus side is a bounded semi-fetch, query side broadcasts)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("n_id"))
     ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank")
     )
-    # true-cosine re-rank fetch: only the k winners per query touch raw
-    # vectors (corpus side is a bounded semi-fetch, query side broadcasts)
     return (
         ranked.join(
             corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv")),
@@ -764,39 +782,41 @@ def pq_adc_topk(
 
 def _pq_adc_cogroup(
     codes: DataFrame,
-    queries: DataFrame,
+    q_prepared: DataFrame,
     k: int,
     m: int,
     n_centroids: int,
     sub_dim: int,
-    vec_col: str,
-    id_col: str,
     id_type=None,
     n_salts: int = 16,
+    by_cell: bool = False,
 ) -> DataFrame:
     """ADC volume scoring: (q_id, n_id, adc) candidates, per-query top-k
-    per salt shard (the global window in pq_adc_topk merges shards).
+    per shard (the global window in pq_adc_topk/ivf_pq_topk merges shards).
 
-    Codes shard deterministically on n_id; queries replicate to every
-    shard (bounded broadcast).  Each shard builds the m x n_centroids
-    distance tables from the raw query vectors with the SAME sequential
-    accumulation the expression/oracle kernels use, then scores each
-    candidate by gathering its m table entries in ascending subspace
-    order — bit-identical adc values to the element_at plan, so the
-    merged ranking (adc asc, n_id asc via lexsort) is too."""
+    ``q_prepared`` carries (q_id, qv) — plus ``cell`` when ``by_cell``
+    (the IVF-PQ path: codes carry their cell, queries arrive exploded to
+    their probed cells, and the cogroup keys on (cell, salt) so a shard
+    scores only within-cell candidates).  Codes shard deterministically on
+    n_id; queries replicate to every salt shard (bounded broadcast).  Each
+    shard builds the m x n_centroids distance tables from the raw query
+    vectors with the SAME sequential accumulation the expression/oracle
+    kernels use, then scores each candidate by gathering its m table
+    entries in ascending subspace order — bit-identical adc values to the
+    element_at plan, so the merged ranking (adc asc, n_id asc via lexsort)
+    is too."""
     import numpy as np
 
     id_sql = (id_type.simpleString() if id_type is not None else "bigint")
     C = _pq_codebook_np(m, n_centroids, sub_dim)
     c = codes.withColumn("salt", F.pmod(F.xxhash64("n_id"), F.lit(n_salts)))
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
-    ).join(
+    q = q_prepared.join(
         F.broadcast(
-            queries.sparkSession.range(n_salts).select(F.col("id").alias("salt"))
+            q_prepared.sparkSession.range(n_salts).select(F.col("id").alias("salt"))
         ),
         how="cross",
     )
+    keys = (["cell", "salt"] if by_cell else ["salt"])
     code_cols = [f"c{s}" for s in range(m)]
 
     def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
@@ -823,7 +843,91 @@ def _pq_adc_cogroup(
         return pd.DataFrame({"q_id": out_q, "n_id": out_n, "adc": out_a})
 
     return (
-        c.groupBy("salt")
-        .cogroup(q.groupBy("salt"))
+        c.groupBy(*keys)
+        .cogroup(q.groupBy(*keys))
         .applyInPandas(score, f"q_id {id_sql}, n_id {id_sql}, adc double")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    m: int = PQ_M,
+    n_centroids: int = PQ_CENTROIDS,
+    n_probe: int = 1,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    fast: bool = False,
+    fast_scan: bool = False,
+) -> DataFrame:
+    """IVF-PQ search — the full billion-vector ANN stack this family's
+    pieces exist for: the IVF coarse quantizer routes each query to its
+    ``n_probe`` nearest cells (the recall knob), ADC ranks ONLY the 4-bit
+    PQ codes inside those cells (never raw vectors), and the k winners
+    re-rank-fetch their true cosine.  vs pq_adc_topk's full code scan,
+    the scan cost drops by ~n_cells/n_probe on top of PQ's 128x byte
+    compression; vs ivf_knn, the within-cell scoring reads codes instead
+    of vectors.  Output (q_id, n_id, cosine, rank) ranked by ADC distance
+    (ascending, n_id tie-break), cosines 6dp.
+
+    ``fast`` selects the code/cell-generation kernels; ``fast_scan=True``
+    swaps the element_at scoring for the cogroup numpy gather keyed on
+    (cell, salt) — same shape as _pq_adc_cogroup, but a shard holds one
+    cell's codes so the pandas block is bounded by the largest cell /
+    n_salts.  The expression arm's candidate meet is a broadcast EQUI-join
+    on cell (queries << corpus), not a nested loop — the production shape
+    where the query batch replicates to the probed inverted lists only."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+
+    base = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv"))
+    if fast or fast_scan:
+        base = assign_ivf_cells_fast(base, vec_col="cv")
+    else:
+        base = base.withColumn("cell", ivf_cell(F.col("cv")))
+    codes = pq_encode(
+        base, vec_col="cv", dim=dim, m=m, n_centroids=n_centroids,
+        fast=fast or fast_scan,
+    ).select(
+        "n_id",
+        "cell",
+        *[
+            F.split("pq_code", "-").getItem(s).cast("int").alias(f"c{s}")
+            for s in range(m)
+        ],
+    )
+
+    qv = F.col(vec_col)
+    if fast_scan:
+        probe = _probe_cells_fast_udf(N_IVF_CELLS, n_probe)
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            qv.alias("qv"),
+            F.explode(probe(qv)).alias("cell"),
+        )
+        scored = _pq_adc_cogroup(
+            codes, q, k, m, n_centroids, sub_dim,
+            id_type=corpus.schema[id_col].dataType, by_cell=True,
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            qv.alias("qv"),
+            F.explode(ivf_probe_cells(qv, n_probe=n_probe)).alias("cell"),
+            *[
+                F.array(
+                    *[_pq_sub_dist2(qv, s, j, sub_dim) for j in range(n_centroids)]
+                ).alias(f"ds{s}")
+                for s in range(m)
+            ],
+        )
+        adist = F.element_at(F.col("ds0"), F.col("c0") + 1)
+        for s in range(1, m):
+            adist = adist + F.element_at(F.col(f"ds{s}"), F.col(f"c{s}") + 1)
+        scored = codes.join(F.broadcast(q), "cell").select(
+            "q_id", "n_id", adist.alias("adc")
+        )
+    return _adc_rank_and_rerank(scored, corpus, queries, k, vec_col, id_col)

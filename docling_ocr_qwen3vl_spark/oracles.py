@@ -1290,6 +1290,80 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# IVF-PQ twin of operators/similarity.py::ivf_pq_topk: the composed
+# stack — IVF cell routing (same centroid grid / probe ranking as
+# _knn_batch_sql) restricts the candidate set, ADC over the PQ distance
+# tables (same codebook / fold order as _pq_adc_sql) ranks it, the k
+# winners re-rank by true cosine.  A corpus vector has exactly ONE cell
+# and a query probes n_probe DISTINCT cells, so the cell join yields each
+# (q_id, n_id) candidate at most once.
+def _ivf_pq_sql(n_probe: int) -> str:
+    ivf_dists = ", ".join(_dist2(j, "v") for j in range(8))
+    ds_cols = ",\n  ".join(
+        "["
+        + ", ".join(_pq_sub_dist2_sql(s, j) for j in range(16))
+        + f"] AS ds{s}"
+        for s in range(8)
+    )
+    code_cols = ",\n    ".join(
+        f"CAST(list_position(ds{s}, list_min(ds{s})) - 1 AS INTEGER) AS c{s}"
+        for s in range(8)
+    )
+    adc = " + ".join(f"q.ds{s}[cd.c{s} + 1]" for s in range(8))
+    q_ds = ", ".join(f"d.ds{s}" for s in range(8))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ivfd AS (SELECT vec_id, [{ivf_dists}] AS dists FROM e),
+d AS (SELECT vec_id, v,
+  {ds_cols}
+  FROM e),
+cd AS (
+  SELECT d.vec_id AS n_id, v AS cv,
+    CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cell,
+    {code_cols}
+  FROM d JOIN ivfd USING (vec_id) WHERE vec_id >= 10
+),
+qc AS (
+  SELECT vec_id, s.j AS cell, dists[s.j + 1] AS dist
+  FROM ivfd CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) s
+  WHERE vec_id < 10
+),
+qp AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM qc) WHERE rn <= {n_probe}
+),
+q AS (
+  SELECT d.vec_id AS q_id, v AS qv, qp.cell, {q_ds}
+  FROM d JOIN qp USING (vec_id)
+),
+scored AS (
+  SELECT q.q_id, cd.n_id, cd.cv, q.qv, {adc} AS adc
+  FROM cd JOIN q USING (cell)
+),
+ranked AS (
+  SELECT q_id, n_id, cv, qv,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, n_id,
+  round(list_dot_product(cv, qv)
+    / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine,
+  rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# the 'fast' arm reuses the n_probe=2 SQL verbatim for the same reason
+# knn_batch's does: the cogroup gather kernel claims exact reproduction of
+# the declarative semantics (same cells, codes, adc sums, tie-order).
+# the IVF-PQ arms join KNN_BATCH_SQL below under their own
+# (n_probe, kernel) keys; 'ivf_pq_fast' reuses the n_probe=2 SQL verbatim
+# because the composed cogroup kernel claims exact reproduction of the
+# declarative semantics (same cells, codes, adc sums, tie-order).
+
+
 # all arms unioned under (n_probe, kernel) keys (matches q_knn_batch).
 # The 'fast' arm deliberately reuses the n_probe=2 SQL verbatim: the
 # numpy cogroup-matmul kernel claims to reproduce the declarative
@@ -1309,6 +1383,12 @@ KNN_BATCH_SQL = (
     + _pq_adc_sql()
     + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 0 AS n_probe, 'pq_adc_fast' AS kernel FROM (\n"
     + _pq_adc_sql()
+    + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 1 AS n_probe, 'ivf_pq' AS kernel FROM (\n"
+    + _ivf_pq_sql(1)
+    + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 2 AS n_probe, 'ivf_pq' AS kernel FROM (\n"
+    + _ivf_pq_sql(2)
+    + ")\nUNION ALL\nSELECT q_id, n_id, cosine, rank, 2 AS n_probe, 'ivf_pq_fast' AS kernel FROM (\n"
+    + _ivf_pq_sql(2)
     + ")"
 )
 

@@ -1095,7 +1095,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, no cell pruning) runs the PQ search path — 4-bit codes ranked by
     per-query distance-table sums, true cosine re-rank-fetched for the k
     winners — against its own declarative oracle SQL."""
-    from .operators.similarity import ivf_knn, pq_adc_topk
+    from .operators.similarity import ivf_knn, ivf_pq_topk, pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1119,6 +1119,23 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("kernel", F.lit(kernel))
         )
         out = out.unionByName(adc)
+    # the composed IVF-PQ stack (ivf_pq_topk): cells route, ADC over the
+    # probed lists ranks codes-only, winners re-rank true cosine — the
+    # 'ivf_pq_fast' arm runs the full production numpy path (vectorized
+    # cell assign + PQ encode + (cell, salt)-cogroup ADC gather) against
+    # the SAME declarative oracle as the expression arm
+    for kernel, n_probe, fast_scan in (
+        ("ivf_pq", 1, False), ("ivf_pq", 2, False), ("ivf_pq_fast", 2, True)
+    ):
+        ivfpq = (
+            ivf_pq_topk(
+                corpus, queries, n_probe=n_probe,
+                fast=fast_scan, fast_scan=fast_scan,
+            )
+            .withColumn("n_probe", F.lit(n_probe))
+            .withColumn("kernel", F.lit(kernel))
+        )
+        out = out.unionByName(ivfpq)
     return out
 
 

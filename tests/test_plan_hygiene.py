@@ -7,8 +7,8 @@ baseline; the ANN paths are the scale alternatives), and knn_batch
 carries three deliberate bounded loops — the fast arm's broadcast 16-row
 salt-table replicate (bounded by n_salts, never corpus-proportional —
 see _cogroup_topk), the pq_adc arm's broadcast |queries|-row
-distance-table scan over the codes, and the pq_adc_fast arm's 16-row
-salt replicate of the query set.
+distance-table scan over the codes, and the pq_adc_fast / ivf_pq_fast
+arms' 16-row salt replicates of the query set.
 
 The driver-loop queries (dup_components, dedup_survivors, ivf_kmeans)
 execute jobs during plan CONSTRUCTION, so their whole-loop plan cannot be
@@ -24,11 +24,13 @@ from docling_ocr_qwen3vl_spark.queries import QUERIES
 # name -> max tolerated BroadcastNestedLoopJoin occurrences: the bound is
 # per-query so a FURTHER accidental nested loop (e.g. a broken equi-join
 # in knn_batch's expression arms) still fails the sweep.  knn_batch's
-# three deliberate loops: the fast arm's 16-row salt replicate, the
+# four deliberate loops: the fast arm's 16-row salt replicate, the
 # pq_adc arm's bounded |queries|-row distance-table broadcast against the
-# code scan (the production ADC shape — scoring touches codes only), and
-# the pq_adc_fast arm's 16-row salt replicate of the query set.
-ALLOWED_NESTED_LOOP = {"knn_bruteforce": 1, "knn_batch": 3}
+# code scan (the production ADC shape — scoring touches codes only), the
+# pq_adc_fast arm's 16-row salt replicate of the query set, and the
+# ivf_pq_fast arm's 16-row salt replicate (the ivf_pq expression arms
+# meet candidates via a broadcast EQUI-join on cell — no loop).
+ALLOWED_NESTED_LOOP = {"knn_bruteforce": 1, "knn_batch": 4}
 
 # fixpoint loops / eager builders: whole-query plan construction runs jobs
 # (driver-loop collects or an eager localCheckpoint), so the sweep would

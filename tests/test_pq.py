@@ -144,3 +144,56 @@ def test_kernel_flag_never_changes_schema(spark, sf_dir):
         .count()
     )
     assert n == emb.count()
+
+
+def test_ivf_pq_fast_scan_matches_expression_scan(spark, sf_dir):
+    """The composed IVF-PQ volume path (numpy cell assign + PQ encode +
+    (cell, salt)-cogroup ADC gather) must reproduce the expression plan
+    exactly — same winners, ranks, cosines — at both probe depths."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    for n_probe in (1, 2):
+        def rows(**kw):
+            return sorted(
+                (r["q_id"], r["n_id"], r["rank"], r["cosine"])
+                for r in ivf_pq_topk(
+                    corpus, queries, n_probe=n_probe, **kw
+                ).collect()
+            )
+
+        expr = rows()
+        fast = rows(fast=True, fast_scan=True)
+        assert expr == fast and len(expr) == 30  # 10 queries x top-3
+
+
+def test_ivf_pq_candidates_stay_in_probed_cells(spark, sf_dir):
+    """Every IVF-PQ neighbour must live in one of its query's n_probe
+    nearest cells — the inverted-list restriction that gives the
+    n_cells/n_probe scan cut (and distinguishes it from pq_adc_topk's
+    full code scan)."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_pq_topk,
+        ivf_probe_cells,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cells = {
+        r["vec_id"]: r["cell"] for r in assign_ivf_cells(corpus).collect()
+    }
+    probes = {
+        r["vec_id"]: r["p"]
+        for r in queries.select(
+            "vec_id", ivf_probe_cells(F.col("v"), n_probe=2).alias("p")
+        ).collect()
+    }
+    out = ivf_pq_topk(corpus, queries, n_probe=2).collect()
+    assert len(out) == 30
+    for r in out:
+        assert cells[r["n_id"]] in probes[r["q_id"]]
