@@ -646,6 +646,31 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
         fam_hits = adc_fam.join(exact_fam, ["q_id", "fam"], "left_semi").count()
         fam_total = exact_fam.count()
 
+        # composed IVF-PQ (ivf_pq_topk, the billion-vector serving stack:
+        # cell routing + code-only ADC inside the probed lists + re-rank)
+        # at n_probe=2 — the scan is ~n_probe/n_cells of the ADC full
+        # scan; recall measured both ways against the same exhaustive
+        # truth, so the artifact shows what the cell restriction costs on
+        # top of PQ's resolution floor
+        from docling_ocr_qwen3vl_spark.operators.similarity import ivf_pq_topk
+
+        ivfpq_sec, ivfpq = None, None
+        for _ in range(2):
+            t0 = time.time()
+            df = ivf_pq_topk(
+                corpus, queries, k=k, dim=dim, n_probe=2,
+                fast=True, fast_scan=True,
+            ).localCheckpoint(eager=True)
+            df.count()
+            sec = time.time() - t0
+            if ivfpq_sec is None or sec < ivfpq_sec:
+                ivfpq_sec, ivfpq = sec, df
+        ivfpq_hits = ivfpq.join(exact, ["q_id", "n_id"], "left_semi").count()
+        ivfpq_fam = fam(ivfpq)
+        ivfpq_fam_hits = ivfpq_fam.join(
+            exact_fam, ["q_id", "fam"], "left_semi"
+        ).count()
+
         occ = {
             int(r["cell"]): int(r["n"])
             for r in assign_ivf_cells_fast(corpus)
@@ -673,6 +698,14 @@ def run_ann_sweep(spark, sf_dir: str) -> dict:
         else None,
         "pq_adc_recall_at_k": round(adc_hits / n_exact, 4) if n_exact else None,
         "pq_adc_family_recall": round(fam_hits / fam_total, 4)
+        if fam_total
+        else None,
+        "ivf_pq_search_sec": round(ivfpq_sec, 2),
+        "ivf_pq_queries_per_sec": round(n_queries_actual / ivfpq_sec, 1)
+        if ivfpq_sec
+        else None,
+        "ivf_pq_recall_at_k": round(ivfpq_hits / n_exact, 4) if n_exact else None,
+        "ivf_pq_family_recall": round(ivfpq_fam_hits / fam_total, 4)
         if fam_total
         else None,
         "cell_occupancy": occ,
