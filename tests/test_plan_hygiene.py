@@ -106,3 +106,36 @@ def test_lloyd_iteration_plan_clean(spark):
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ivf_pq_expr_plan_is_hash_join_with_grouped_limit(spark):
+    """Positive shape assertion for the composed IVF-PQ expression arm:
+    the candidate meet must be a broadcast HASH join on cell (the
+    inverted-list restriction — a regression to a nested loop would scan
+    every code for every query), and the top-k must run through Spark's
+    WindowGroupLimit partial/final pair so each partition pre-trims to k
+    rows BEFORE the q_id shuffle (the property that keeps the shuffle
+    k-bounded instead of candidate-bounded at 10^12 vectors)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from docling_ocr_qwen3vl_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    plan = (
+        ivf_pq_topk(
+            emb.filter(F.col("vec_id") >= 10),
+            emb.filter(F.col("vec_id") < 10),
+            n_probe=2,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin \[cell#\d+\], \[cell#\d+\]", plan)
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
