@@ -578,6 +578,37 @@ def _pq_sub_dist2(vec: Column, s: int, j: int, sub_dim: int) -> Column:
     )
 
 
+def _codebook_np(codebook, m: int, n_centroids: int, sub_dim: int):
+    """Resolve the PQ codebook: the deterministic grid when ``codebook``
+    is None, else the caller's TRAINED codebook (any (m, n_centroids,
+    sub_dim) nested list / array) validated to the expected shape — the
+    production swap-in path the grid stands in for."""
+    import numpy as np
+
+    if codebook is None:
+        return _pq_codebook_np(m, n_centroids, sub_dim)
+    C = np.asarray(codebook, dtype=np.float64)
+    if C.shape != (m, n_centroids, sub_dim):
+        raise ValueError(
+            f"codebook shape {C.shape} != ({m}, {n_centroids}, {sub_dim})"
+        )
+    return C
+
+
+def _pq_sub_dist2_lit(vec: Column, s: int, j: int, sub_dim: int, C) -> Column:
+    """_pq_sub_dist2 against an EXPLICIT codebook: the weights become
+    literals, and the fold unrolls into a left-to-right + chain — the
+    same ascending-dimension accumulation order as the fold/numpy
+    kernels, so all three paths stay bit-identical."""
+    base = s * sub_dim
+    total = None
+    for kk in range(sub_dim):
+        d = F.element_at(vec, F.lit(base + kk + 1)) - F.lit(float(C[s][j][kk]))
+        term = d * d
+        total = term if total is None else total + term
+    return total
+
+
 def pq_encode(
     embeddings: DataFrame,
     vec_col: str = "v",
@@ -585,21 +616,33 @@ def pq_encode(
     m: int = PQ_M,
     n_centroids: int = PQ_CENTROIDS,
     fast: bool = False,
+    codebook=None,
 ) -> DataFrame:
     """Product-quantize ``vec_col``: adds ``pq_code`` (codes joined with
     '-', one per subspace, lowest-id tie-break) and ``recon_err`` (total
     squared quantization error, 6dp).  ``fast=True`` runs the vectorized
     numpy kernel (volume path); the expression form is the oracle twin.
+    ``codebook`` swaps the deterministic grid for a TRAINED
+    (m, n_centroids, sub_dim) codebook — same kernels, same tie-breaks,
+    the weights just become data instead of derived constants.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
+    if codebook is not None:
+        codebook = _codebook_np(codebook, m, n_centroids, sub_dim)
     if not fast:
         vec = F.col(vec_col)
+
+        def sub_dist2(s, j):
+            if codebook is None:
+                return _pq_sub_dist2(vec, s, j, sub_dim)
+            return _pq_sub_dist2_lit(vec, s, j, sub_dim, codebook)
+
         codes, errs = [], []
         for s in range(m):
             dists = F.array(
-                *[_pq_sub_dist2(vec, s, j, sub_dim) for j in range(n_centroids)]
+                *[sub_dist2(s, j) for j in range(n_centroids)]
             )
             codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
             errs.append(F.array_min(dists))
@@ -618,7 +661,11 @@ def pq_encode(
         f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields
     )
 
-    C = _pq_codebook_np(m, n_centroids, sub_dim)
+    C = (
+        codebook
+        if codebook is not None
+        else _pq_codebook_np(m, n_centroids, sub_dim)
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -663,6 +710,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     fast: bool = False,
     fast_scan: bool = False,
+    codebook=None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
     IVF-PQ.  Each query precomputes an m x n_centroids distance table
@@ -692,6 +740,8 @@ def pq_adc_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
+    if codebook is not None:
+        codebook = _codebook_np(codebook, m, n_centroids, sub_dim)
 
     codes = pq_encode(
         corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv")),
@@ -700,6 +750,7 @@ def pq_adc_topk(
         m=m,
         n_centroids=n_centroids,
         fast=fast or fast_scan,
+        codebook=codebook,
     ).select(
         "n_id",
         *[
@@ -715,15 +766,22 @@ def pq_adc_topk(
             ),
             k, m, n_centroids, sub_dim,
             id_type=corpus.schema[id_col].dataType,
+            codebook=codebook,
         )
     else:
         qv = F.col(vec_col)
+
+        def sub_dist2(s, j):
+            if codebook is None:
+                return _pq_sub_dist2(qv, s, j, sub_dim)
+            return _pq_sub_dist2_lit(qv, s, j, sub_dim, codebook)
+
         q = queries.select(
             F.col(id_col).alias("q_id"),
             qv.alias("qv"),
             *[
                 F.array(
-                    *[_pq_sub_dist2(qv, s, j, sub_dim) for j in range(n_centroids)]
+                    *[sub_dist2(s, j) for j in range(n_centroids)]
                 ).alias(f"ds{s}")
                 for s in range(m)
             ],
@@ -790,6 +848,7 @@ def _pq_adc_cogroup(
     id_type=None,
     n_salts: int = 16,
     by_cell: bool = False,
+    codebook=None,
 ) -> DataFrame:
     """ADC volume scoring: (q_id, n_id, adc) candidates, per-query top-k
     per shard (the global window in pq_adc_topk/ivf_pq_topk merges shards).
@@ -808,7 +867,11 @@ def _pq_adc_cogroup(
     import numpy as np
 
     id_sql = (id_type.simpleString() if id_type is not None else "bigint")
-    C = _pq_codebook_np(m, n_centroids, sub_dim)
+    C = (
+        codebook
+        if codebook is not None
+        else _pq_codebook_np(m, n_centroids, sub_dim)
+    )
     c = codes.withColumn("salt", F.pmod(F.xxhash64("n_id"), F.lit(n_salts)))
     q = q_prepared.join(
         F.broadcast(
@@ -849,6 +912,85 @@ def _pq_adc_cogroup(
     )
 
 
+def _raw_cell_dist2(vec: Column, c: list[float]) -> Column:
+    """Squared L2 of ``vec`` to an EXPLICIT raw-space centroid, folded in
+    ascending dimension order (the cross-kernel float contract)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in c]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _argmin_cell_raw(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest explicit centroid by squared L2, array_position argmin =
+    lowest-cell tie-break (the same contract as ivf_cell's grid form)."""
+    dists = F.array(*[_raw_cell_dist2(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _probe_cells_raw(
+    vec: Column, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """ivf_probe_cells against explicit centroids: sort (dist, cell)
+    structs, slice n_probe, project — ties to the lower cell id."""
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(_raw_cell_dist2(vec, c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["j"].cast("int"))
+
+
+def _explicit_cells_matrix(M, centroids):
+    """(n, p) squared L2 distances of rows of M to explicit centroids via
+    the expanded form (the _cells_matrix shape, data-driven C)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    return (
+        (M * M).sum(axis=1)[:, None]
+        - 2.0 * (M @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+def _assign_cells_explicit_udf(centroids):
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cell_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy())
+        return pd.Series(
+            np.argmin(_explicit_cells_matrix(M, centroids), axis=1).astype("int32")
+        )
+
+    return cell_udf
+
+
+def _probe_cells_explicit_udf(centroids, n_probe: int):
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy())
+        order = np.argsort(
+            _explicit_cells_matrix(M, centroids), axis=1, kind="stable"
+        )
+        return pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    return probe_udf
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -861,6 +1003,8 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     fast: bool = False,
     fast_scan: bool = False,
+    centroids: list[list[float]] | None = None,
+    codebook=None,
 ) -> DataFrame:
     """IVF-PQ search — the full billion-vector ANN stack this family's
     pieces exist for: the IVF coarse quantizer routes each query to its
@@ -878,19 +1022,37 @@ def ivf_pq_topk(
     cell's codes so the pandas block is bounded by the largest cell /
     n_salts.  The expression arm's candidate meet is a broadcast EQUI-join
     on cell (queries << corpus), not a nested loop — the production shape
-    where the query batch replicates to the probed inverted lists only."""
+    where the query batch replicates to the probed inverted lists only.
+
+    ``centroids`` (a list of raw-space vectors, e.g. the refined set a
+    ``kmeans_refined_cells`` training pass produced) and ``codebook`` (a
+    trained (m, n_centroids, sub_dim) PQ codebook) swap the deterministic
+    grids for TRAINED quantizers — same plans, same kernels, same
+    tie-breaks; the quantizer weights just become data."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
+    n_cells = N_IVF_CELLS if centroids is None else len(centroids)
+    if codebook is not None:
+        codebook = _codebook_np(codebook, m, n_centroids, sub_dim)
 
     base = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv"))
     if fast or fast_scan:
-        base = assign_ivf_cells_fast(base, vec_col="cv")
-    else:
+        if centroids is None:
+            base = assign_ivf_cells_fast(base, vec_col="cv")
+        else:
+            base = base.withColumn(
+                "cell", _assign_cells_explicit_udf(centroids)(F.col("cv"))
+            )
+    elif centroids is None:
         base = base.withColumn("cell", ivf_cell(F.col("cv")))
+    else:
+        base = base.withColumn(
+            "cell", _argmin_cell_raw(F.col("cv"), centroids)
+        )
     codes = pq_encode(
         base, vec_col="cv", dim=dim, m=m, n_centroids=n_centroids,
-        fast=fast or fast_scan,
+        fast=fast or fast_scan, codebook=codebook,
     ).select(
         "n_id",
         "cell",
@@ -902,7 +1064,10 @@ def ivf_pq_topk(
 
     qv = F.col(vec_col)
     if fast_scan:
-        probe = _probe_cells_fast_udf(N_IVF_CELLS, n_probe)
+        if centroids is None:
+            probe = _probe_cells_fast_udf(n_cells, n_probe)
+        else:
+            probe = _probe_cells_explicit_udf(centroids, n_probe)
         q = queries.select(
             F.col(id_col).alias("q_id"),
             qv.alias("qv"),
@@ -911,15 +1076,26 @@ def ivf_pq_topk(
         scored = _pq_adc_cogroup(
             codes, q, k, m, n_centroids, sub_dim,
             id_type=corpus.schema[id_col].dataType, by_cell=True,
+            codebook=codebook,
         )
     else:
+        if centroids is None:
+            probe_col = ivf_probe_cells(qv, n_probe=n_probe)
+        else:
+            probe_col = _probe_cells_raw(qv, centroids, n_probe)
+
+        def sub_dist2(s, j):
+            if codebook is None:
+                return _pq_sub_dist2(qv, s, j, sub_dim)
+            return _pq_sub_dist2_lit(qv, s, j, sub_dim, codebook)
+
         q = queries.select(
             F.col(id_col).alias("q_id"),
             qv.alias("qv"),
-            F.explode(ivf_probe_cells(qv, n_probe=n_probe)).alias("cell"),
+            F.explode(probe_col).alias("cell"),
             *[
                 F.array(
-                    *[_pq_sub_dist2(qv, s, j, sub_dim) for j in range(n_centroids)]
+                    *[sub_dist2(s, j) for j in range(n_centroids)]
                 ).alias(f"ds{s}")
                 for s in range(m)
             ],

@@ -197,3 +197,101 @@ def test_ivf_pq_candidates_stay_in_probed_cells(spark, sf_dir):
     assert len(out) == 30
     for r in out:
         assert cells[r["n_id"]] in probes[r["q_id"]]
+
+
+def _trained_quantizers(emb):
+    """Deterministic stand-ins for TRAINED quantizers, built from real
+    corpus vectors (so they sit in-distribution, like a k-means/PQ
+    training pass would produce): 4 IVF centroids = vectors 20..23;
+    codebook entry (s, j) = subvector s of vector 30+j."""
+    import numpy as np
+
+    rows = {
+        r["vec_id"]: r["v"]
+        for r in emb.filter(F.col("vec_id") < 50).collect()
+    }
+    centroids = [rows[20 + j] for j in range(4)]
+    codebook = np.stack(
+        [
+            np.array([rows[30 + j][s * 8:(s + 1) * 8] for j in range(16)])
+            for s in range(PQ_M)
+        ]
+    )
+    return centroids, codebook
+
+
+def test_pq_encode_trained_codebook_kernels_agree(spark, sf_dir):
+    """pq_encode with an explicit (trained) codebook: the unrolled-literal
+    expression kernel and the numpy kernel must produce identical codes
+    and 6dp errors — the same contract the grid kernels carry."""
+    emb = _emb(spark, sf_dir)
+    _, codebook = _trained_quantizers(emb)
+    expr = {
+        r["vec_id"]: (r["pq_code"], r["recon_err"])
+        for r in pq_encode(emb, codebook=codebook)
+        .select("vec_id", "pq_code", "recon_err")
+        .collect()
+    }
+    fast = {
+        r["vec_id"]: (r["pq_code"], r["recon_err"])
+        for r in pq_encode(emb, codebook=codebook, fast=True)
+        .select("vec_id", "pq_code", "recon_err")
+        .collect()
+    }
+    assert expr == fast and len(expr) > 0
+    # and a trained codebook actually changes the assignment vs the grid
+    grid = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(emb).select("vec_id", "pq_code").collect()
+    }
+    assert any(grid[k] != expr[k][0] for k in grid)
+
+
+def test_pq_encode_rejects_bad_codebook_shape(spark, sf_dir):
+    with pytest.raises(ValueError, match="codebook shape"):
+        pq_encode(_emb(spark, sf_dir), codebook=[[[0.0] * 4] * 16] * 8)
+
+
+def test_ivf_pq_trained_quantizers_kernels_agree(spark, sf_dir):
+    """The full IVF-PQ stack under TRAINED quantizers (explicit centroids
+    + explicit codebook): expression and numpy arms must agree exactly,
+    and every neighbour must come from its query's probed cells under
+    THOSE centroids — the production swap-in the grid stands in for."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        _argmin_cell_raw,
+        _probe_cells_raw,
+        ivf_pq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids, codebook = _trained_quantizers(emb)
+
+    def rows(**kw):
+        return sorted(
+            (r["q_id"], r["n_id"], r["rank"], r["cosine"])
+            for r in ivf_pq_topk(
+                corpus, queries, n_probe=2,
+                centroids=centroids, codebook=codebook, **kw
+            ).collect()
+        )
+
+    expr = rows()
+    fast = rows(fast=True, fast_scan=True)
+    assert expr == fast and len(expr) == 30
+
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in corpus.select(
+            "vec_id", _argmin_cell_raw(F.col("v"), centroids).alias("cell")
+        ).collect()
+    }
+    probes = {
+        r["vec_id"]: r["p"]
+        for r in queries.select(
+            "vec_id", _probe_cells_raw(F.col("v"), centroids, 2).alias("p")
+        ).collect()
+    }
+    for q_id, n_id, _, _ in expr:
+        assert cells[n_id] in probes[q_id]
