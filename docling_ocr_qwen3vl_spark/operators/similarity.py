@@ -248,6 +248,14 @@ def kmeans_refined_cells(
     centroids."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
+    base, centroids = _lloyd_refined(embeddings, vec_col, n_cells, iterations, dim)
+    return base.withColumn("cell", _argmin_cell(centroids)).select("vec_id", "cell")
+
+
+def _lloyd_refined(embeddings, vec_col, n_cells, iterations, dim):
+    """The shared Lloyd loop: quantize, refine ``iterations`` times from
+    the deterministic init grid, return (quantized base, final centroids
+    in QUANTIZED space)."""
     vq = F.transform(
         F.col(vec_col), lambda x: F.floor(x * F.lit(KMEANS_SCALE)).cast("long")
     )
@@ -260,7 +268,27 @@ def kmeans_refined_cells(
             _check_exact_sum_bound(row, dim)
             refined[row["cell"]] = [row[f"s{k}"] / row["cnt"] for k in range(dim)]
         centroids = refined
-    return base.withColumn("cell", _argmin_cell(centroids)).select("vec_id", "cell")
+    return base, centroids
+
+
+def kmeans_refined_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "v",
+    n_cells: int = N_IVF_CELLS,
+    iterations: int = 2,
+    dim: int | None = None,
+) -> list[list[float]]:
+    """The RAW-SPACE centroid vectors the kmeans_refined_cells training
+    pass converges to — the list ivf_pq_topk(centroids=...) and
+    ivf_knn-style routing consume, closing the train -> search loop
+    in-repo.  Same exactness design (quantized integer sums, 2^53
+    enforced); the returned components carry the one-part-in-1e6
+    quantization of KMEANS_SCALE, which is routing-irrelevant (cells are
+    macroscopically separated) and documented rather than hidden."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    _, centroids = _lloyd_refined(embeddings, vec_col, n_cells, iterations, dim)
+    return [[x / KMEANS_SCALE for x in c] for c in centroids]
 
 
 # a bigint-to-double conversion is exact only below 2^53; past it the
@@ -910,6 +938,85 @@ def _pq_adc_cogroup(
         .cogroup(q.groupBy(*keys))
         .applyInPandas(score, f"q_id {id_sql}, n_id {id_sql}, adc double")
     )
+
+
+def train_pq_codebook(
+    embeddings: DataFrame,
+    vec_col: str = "v",
+    dim: int = 64,
+    m: int = PQ_M,
+    n_centroids: int = PQ_CENTROIDS,
+    iterations: int = 2,
+):
+    """Train a PQ codebook on the corpus (or a sample — production trains
+    on one): per-subspace k-means under the kmeans_refined_cells
+    exactness design.  Vectors quantize to integers (floor(v*1e6)) so
+    per-centroid sums are EXACT bigints regardless of partition order
+    (2^53 enforced per collected sum), making the trained codebook
+    bit-reproducible across runs and cluster layouts.
+
+    Plan shape per Lloyd iteration: ONE job over all m subspaces — the
+    vector posexplodes into its m quantized subvectors, assignment is a
+    lazily-evaluated per-subspace argmin branch, and a partial-agg
+    groupBy (s, cell) emits m x n_centroids control-plane rows for the
+    driver to fold (the vectors themselves never shuffle).  Init is the
+    deterministic grid, so iterations=0 returns the grid exactly and
+    each iteration weakly decreases total quantization error on the
+    training set.  Returns a raw-space (m, n_centroids, sub_dim) numpy
+    codebook for pq_encode/pq_adc_topk/ivf_pq_topk(codebook=...)."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    vq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * F.lit(KMEANS_SCALE)).cast("long")
+    )
+    subs = F.array(*[F.slice(vq, s * sub_dim + 1, sub_dim) for s in range(m)])
+    base = embeddings.select(F.posexplode(subs).alias("s", "vq"))
+    # grid init in quantized space: grid entries are int/1000, so *1e6
+    # lands on exact integer*1000 doubles (the _init_centroids property)
+    C = _pq_codebook_np(m, n_centroids, sub_dim) * KMEANS_SCALE
+
+    def argmin_for(s):
+        def dist2(c):
+            return F.aggregate(
+                F.zip_with(
+                    F.col("vq"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda q, w: (q.cast("double") - w) * (q.cast("double") - w),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+
+        dists = F.array(*[dist2(C[s][j]) for j in range(n_centroids)])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iterations):
+        cell = argmin_for(0)
+        for s in range(1, m):
+            cell = F.when(F.col("s") == s, argmin_for(s)).otherwise(cell)
+        stats = (
+            base.withColumn("cell", cell)
+            .groupBy("s", "cell")
+            .agg(
+                F.count("*").alias("cnt"),
+                *[
+                    F.sum(F.element_at("vq", kk + 1)).alias(f"s{kk}")
+                    for kk in range(sub_dim)
+                ],
+            )
+            .collect()
+        )
+        refined = C.copy()
+        for row in stats:
+            _check_exact_sum_bound(row, sub_dim)
+            refined[row["s"], row["cell"]] = [
+                row[f"s{kk}"] / row["cnt"] for kk in range(sub_dim)
+            ]
+        C = refined
+    return C / KMEANS_SCALE
 
 
 def _raw_cell_dist2(vec: Column, c: list[float]) -> Column:

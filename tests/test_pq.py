@@ -295,3 +295,69 @@ def test_ivf_pq_trained_quantizers_kernels_agree(spark, sf_dir):
     }
     for q_id, n_id, _, _ in expr:
         assert cells[n_id] in probes[q_id]
+
+
+def test_train_pq_codebook_zero_iterations_is_the_grid(spark, sf_dir):
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        _pq_codebook_np,
+        train_pq_codebook,
+    )
+
+    C = train_pq_codebook(_emb(spark, sf_dir), iterations=0)
+    assert np.array_equal(C, _pq_codebook_np(PQ_M, PQ_CENTROIDS, 8))
+
+
+def test_train_pq_codebook_reduces_quantization_error(spark, sf_dir):
+    """Lloyd from the grid init must not increase total quantization
+    error on the training set — and on real data it strictly improves.
+    Also pins bit-reproducibility: two independent training runs return
+    the identical codebook (the exact-integer-sum design)."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import train_pq_codebook
+
+    emb = _emb(spark, sf_dir)
+    trained = train_pq_codebook(emb, iterations=2)
+    again = train_pq_codebook(emb, iterations=2)
+    assert np.array_equal(trained, again)
+
+    def mean_err(codebook):
+        return (
+            pq_encode(emb, codebook=codebook, fast=True)
+            .agg(F.avg("recon_err").alias("e"))
+            .first()["e"]
+        )
+
+    grid_err = (
+        pq_encode(emb, fast=True).agg(F.avg("recon_err").alias("e")).first()["e"]
+    )
+    assert mean_err(trained) < grid_err
+
+
+def test_full_trained_ivf_pq_loop(spark, sf_dir):
+    """The complete in-repo train -> search loop: IVF centroids from
+    kmeans_refined_centroids, PQ codebook from train_pq_codebook, both
+    fed to ivf_pq_topk — expression and numpy arms agree exactly on the
+    trained quantizers."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        ivf_pq_topk,
+        kmeans_refined_centroids,
+        train_pq_codebook,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = kmeans_refined_centroids(corpus)
+    codebook = train_pq_codebook(corpus)
+
+    def rows(**kw):
+        return sorted(
+            (r["q_id"], r["n_id"], r["rank"], r["cosine"])
+            for r in ivf_pq_topk(
+                corpus, queries, n_probe=2,
+                centroids=centroids, codebook=codebook, **kw
+            ).collect()
+        )
+
+    expr = rows()
+    fast = rows(fast=True, fast_scan=True)
+    assert expr == fast and len(expr) == 30
