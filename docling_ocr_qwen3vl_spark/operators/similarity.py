@@ -964,8 +964,6 @@ def train_pq_codebook(
     each iteration weakly decreases total quantization error on the
     training set.  Returns a raw-space (m, n_centroids, sub_dim) numpy
     codebook for pq_encode/pq_adc_topk/ivf_pq_topk(codebook=...)."""
-    import numpy as np
-
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
