@@ -252,14 +252,19 @@ def kmeans_refined_cells(
     return base.withColumn("cell", _argmin_cell(centroids)).select("vec_id", "cell")
 
 
-def _lloyd_refined(embeddings, vec_col, n_cells, iterations, dim):
+def _lloyd_refined(embeddings, vec_col, n_cells, iterations, dim, with_id=True):
     """The shared Lloyd loop: quantize, refine ``iterations`` times from
     the deterministic init grid, return (quantized base, final centroids
-    in QUANTIZED space)."""
+    in QUANTIZED space).  ``with_id=False`` drops the vec_id requirement
+    for centroid-only training (ids are only needed when the caller will
+    assign cells back to vectors)."""
     vq = F.transform(
         F.col(vec_col), lambda x: F.floor(x * F.lit(KMEANS_SCALE)).cast("long")
     )
-    base = embeddings.select("vec_id", vq.alias("vq"))
+    if with_id:
+        base = embeddings.select("vec_id", vq.alias("vq"))
+    else:
+        base = embeddings.select(vq.alias("vq"))
     centroids = _init_centroids(n_cells, dim)
     for _ in range(iterations):
         stats = lloyd_iteration_plan(base, centroids, dim).collect()
@@ -287,7 +292,9 @@ def kmeans_refined_centroids(
     macroscopically separated) and documented rather than hidden."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    _, centroids = _lloyd_refined(embeddings, vec_col, n_cells, iterations, dim)
+    _, centroids = _lloyd_refined(
+        embeddings, vec_col, n_cells, iterations, dim, with_id=False
+    )
     return [[x / KMEANS_SCALE for x in c] for c in centroids]
 
 
@@ -358,10 +365,18 @@ def _centroid_grid(n_cells: int, dim: int):
     return (((j * CENT_MULT + kk * CENT_ADD) % 1000 - 500) / 1000.0)
 
 
-def _cells_matrix(M, n_cells: int):
-    """(n, p) squared L2 distances of rows of M to the deterministic grid
-    via the expanded form (no (n, p, dim) intermediate)."""
-    C = _centroid_grid(n_cells, M.shape[1])
+def _cells_matrix(M, n_cells: int, centroids=None):
+    """(n, p) squared L2 distances of rows of M to the centroid set —
+    the deterministic grid, or explicit (trained) ``centroids`` when
+    given — via the expanded form (no (n, p, dim) intermediate).  The
+    single numpy distance kernel every cell-assignment/probe path
+    shares, so the grid and trained paths can never diverge."""
+    import numpy as np
+
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        C = _centroid_grid(n_cells, M.shape[1])
     return (
         (M * M).sum(axis=1)[:, None]
         - 2.0 * (M @ C.T)
@@ -370,29 +385,37 @@ def _cells_matrix(M, n_cells: int):
 
 
 def assign_ivf_cells_fast(
-    embeddings: DataFrame, vec_col: str = "v", n_cells: int = N_IVF_CELLS
+    embeddings: DataFrame,
+    vec_col: str = "v",
+    n_cells: int = N_IVF_CELLS,
+    centroids=None,
 ) -> DataFrame:
-    """Vectorized IVF coarse quantizer (same grid as ivf_cell; numpy
-    argmin ties break to the lowest cell like array_position)."""
+    """Vectorized IVF coarse quantizer (same grid as ivf_cell, or the
+    explicit trained ``centroids``; numpy argmin ties break to the
+    lowest cell like array_position)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def cell_udf(vs: pd.Series) -> pd.Series:
         M = np.stack(vs.to_numpy())
-        return pd.Series(np.argmin(_cells_matrix(M, n_cells), axis=1).astype("int32"))
+        return pd.Series(
+            np.argmin(_cells_matrix(M, n_cells, centroids), axis=1).astype("int32")
+        )
 
     return embeddings.withColumn("cell", cell_udf(F.col(vec_col)))
 
 
-def _probe_cells_fast_udf(n_cells: int, n_probe: int):
+def _probe_cells_fast_udf(n_cells: int, n_probe: int, centroids=None):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")
     def probe_udf(vs: pd.Series) -> pd.Series:
         M = np.stack(vs.to_numpy())
-        order = np.argsort(_cells_matrix(M, n_cells), axis=1, kind="stable")
+        order = np.argsort(
+            _cells_matrix(M, n_cells, centroids), axis=1, kind="stable"
+        )
         return pd.Series(list(order[:, :n_probe].astype("int32")))
 
     return probe_udf
@@ -689,11 +712,7 @@ def pq_encode(
         f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields
     )
 
-    C = (
-        codebook
-        if codebook is not None
-        else _pq_codebook_np(m, n_centroids, sub_dim)
-    )
+    C = _codebook_np(codebook, m, n_centroids, sub_dim)
 
     def encode(batches):
         for pdf in batches:
@@ -763,8 +782,6 @@ def pq_adc_topk(
     query); at 10^12 vectors the code scan reads m x 4 bits = 4 B per
     vector vs dim x 8 B = 512 B raw — (dim x 64) / (m x 4) = 128x less
     I/O than the raw-vector scan the exact kernels need."""
-    from pyspark.sql import Window
-
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
@@ -895,11 +912,7 @@ def _pq_adc_cogroup(
     import numpy as np
 
     id_sql = (id_type.simpleString() if id_type is not None else "bigint")
-    C = (
-        codebook
-        if codebook is not None
-        else _pq_codebook_np(m, n_centroids, sub_dim)
-    )
+    C = _codebook_np(codebook, m, n_centroids, sub_dim)
     c = codes.withColumn("salt", F.pmod(F.xxhash64("n_id"), F.lit(n_salts)))
     q = q_prepared.join(
         F.broadcast(
@@ -967,11 +980,27 @@ def train_pq_codebook(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
-    vq = F.transform(
-        F.col(vec_col), lambda x: F.floor(x * F.lit(KMEANS_SCALE)).cast("long")
+    probe_row = embeddings.select(vec_col).first()
+    if probe_row is not None and len(probe_row[0]) != dim:
+        raise ValueError(
+            f"train_pq_codebook: expected dim {dim}, got {len(probe_row[0])}"
+        )
+    # slice the RAW vector (free projection), quantize AFTER the explode —
+    # slicing the transformed vector instead would embed m copies of the
+    # interpreted floor(v*1e6) transform in the generator expression and
+    # re-quantize every vector m times per training job
+    subs = F.array(
+        *[
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+            for s in range(m)
+        ]
     )
-    subs = F.array(*[F.slice(vq, s * sub_dim + 1, sub_dim) for s in range(m)])
-    base = embeddings.select(F.posexplode(subs).alias("s", "vq"))
+    base = embeddings.select(F.posexplode(subs).alias("s", "sub")).select(
+        "s",
+        F.transform(
+            "sub", lambda x: F.floor(x * F.lit(KMEANS_SCALE)).cast("long")
+        ).alias("vq"),
+    )
     # grid init in quantized space: grid entries are int/1000, so *1e6
     # lands on exact integer*1000 doubles (the _init_centroids property)
     C = _pq_codebook_np(m, n_centroids, sub_dim) * KMEANS_SCALE
@@ -1009,6 +1038,16 @@ def train_pq_codebook(
         )
         refined = C.copy()
         for row in stats:
+            if row["cell"] is None:
+                # a NULL argmin means a vector shorter than ``dim`` or one
+                # containing nulls (zip_with null-pads) — without this
+                # guard numpy would read row['cell']=None as np.newaxis
+                # and silently broadcast one mean over the whole subspace
+                raise ValueError(
+                    "train_pq_codebook: NULL cell assignment in subspace "
+                    f"{row['s']} — input vectors shorter than dim={dim} "
+                    "or containing nulls"
+                )
             _check_exact_sum_bound(row, sub_dim)
             refined[row["s"], row["cell"]] = [
                 row[f"s{kk}"] / row["cnt"] for kk in range(sub_dim)
@@ -1054,48 +1093,6 @@ def _probe_cells_raw(
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["j"].cast("int"))
 
 
-def _explicit_cells_matrix(M, centroids):
-    """(n, p) squared L2 distances of rows of M to explicit centroids via
-    the expanded form (the _cells_matrix shape, data-driven C)."""
-    import numpy as np
-
-    C = np.asarray(centroids, dtype=np.float64)
-    return (
-        (M * M).sum(axis=1)[:, None]
-        - 2.0 * (M @ C.T)
-        + (C * C).sum(axis=1)[None, :]
-    )
-
-
-def _assign_cells_explicit_udf(centroids):
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("int")
-    def cell_udf(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.to_numpy())
-        return pd.Series(
-            np.argmin(_explicit_cells_matrix(M, centroids), axis=1).astype("int32")
-        )
-
-    return cell_udf
-
-
-def _probe_cells_explicit_udf(centroids, n_probe: int):
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<int>")
-    def probe_udf(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.to_numpy())
-        order = np.argsort(
-            _explicit_cells_matrix(M, centroids), axis=1, kind="stable"
-        )
-        return pd.Series(list(order[:, :n_probe].astype("int32")))
-
-    return probe_udf
-
-
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1138,17 +1135,21 @@ def ivf_pq_topk(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     n_cells = N_IVF_CELLS if centroids is None else len(centroids)
+    if centroids is not None and (
+        not centroids or any(len(c) != dim for c in centroids)
+    ):
+        raise ValueError(
+            f"centroids must be non-empty vectors of dim {dim} "
+            f"(got lengths {sorted({len(c) for c in centroids})})"
+        )
     if codebook is not None:
         codebook = _codebook_np(codebook, m, n_centroids, sub_dim)
 
     base = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv"))
     if fast or fast_scan:
-        if centroids is None:
-            base = assign_ivf_cells_fast(base, vec_col="cv")
-        else:
-            base = base.withColumn(
-                "cell", _assign_cells_explicit_udf(centroids)(F.col("cv"))
-            )
+        base = assign_ivf_cells_fast(
+            base, vec_col="cv", n_cells=n_cells, centroids=centroids
+        )
     elif centroids is None:
         base = base.withColumn("cell", ivf_cell(F.col("cv")))
     else:
@@ -1169,10 +1170,7 @@ def ivf_pq_topk(
 
     qv = F.col(vec_col)
     if fast_scan:
-        if centroids is None:
-            probe = _probe_cells_fast_udf(n_cells, n_probe)
-        else:
-            probe = _probe_cells_explicit_udf(centroids, n_probe)
+        probe = _probe_cells_fast_udf(n_cells, n_probe, centroids=centroids)
         q = queries.select(
             F.col(id_col).alias("q_id"),
             qv.alias("qv"),

@@ -361,3 +361,53 @@ def test_full_trained_ivf_pq_loop(spark, sf_dir):
     expr = rows()
     fast = rows(fast=True, fast_scan=True)
     assert expr == fast and len(expr) == 30
+
+
+def test_train_pq_codebook_rejects_short_vectors(spark, sf_dir):
+    """A corpus whose vectors don't match ``dim`` must fail LOUDLY with a
+    NAMED error: without the guards numpy would read a NULL argmin cell
+    as np.newaxis and silently broadcast one mean over a whole subspace
+    (review finding r5)."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import train_pq_codebook
+
+    short = spark.createDataFrame(
+        [(i, [0.1 * i] * 32) for i in range(4)], "vec_id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="expected dim"):
+        train_pq_codebook(short, dim=64)
+    # ragged/null vectors pass the first()-probe but must hit the
+    # NULL-cell guard instead of corrupting the codebook
+    nulls = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [None] * 64)], "vec_id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL cell assignment"):
+        train_pq_codebook(nulls, dim=64)
+
+
+def test_ivf_pq_rejects_wrong_dim_centroids(spark, sf_dir):
+    """Wrong-dimension centroids previously made the expression arm
+    return an EMPTY result with no error (zip_with null-pads -> every
+    cell NULL -> zero join candidates) while the fast arm crashed; both
+    now fail loudly and identically at call time."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    bad = [[0.0] * 32 for _ in range(4)]
+    for kw in ({}, {"fast": True, "fast_scan": True}):
+        with pytest.raises(ValueError, match="centroids must be"):
+            ivf_pq_topk(corpus, queries, centroids=bad, **kw)
+
+
+def test_kmeans_refined_centroids_needs_no_ids(spark, sf_dir):
+    """Centroid training consumes only vectors; an id-less projection
+    (the natural training-sample shape) must work (review finding r5)."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        kmeans_refined_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    with_ids = kmeans_refined_centroids(emb)
+    without = kmeans_refined_centroids(emb.select("v"))
+    assert with_ids == without and len(without) == 8
