@@ -445,9 +445,13 @@ def ivf_knn(
     id_col: str = "vec_id",
     n_probe: int = 1,
     fast: bool = False,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Batched ANN search: top-k cosine neighbours per query, candidates
-    pruned to the query's IVF cell.
+    pruned to the query's IVF cell.  ``centroids`` swaps the
+    deterministic grid for explicit trained centroid vectors (e.g. from
+    kmeans_refined_centroids) — same plans and tie-breaks, matching
+    ivf_pq_topk's contract.
 
     Plan: both sides get a cell id (pure projection), the query side
     broadcasts (queries << corpus always), candidates meet via the cell
@@ -468,12 +472,15 @@ def ivf_knn(
     flip near-tie ranks in the hash compare)."""
     from pyspark.sql import Window
 
+    if centroids is not None and not centroids:
+        raise ValueError("centroids must be non-empty when given")
+    n_cells = N_IVF_CELLS if centroids is None else len(centroids)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     if fast:
-        c = assign_ivf_cells_fast(corpus, vec_col).select(
+        c = assign_ivf_cells_fast(corpus, vec_col, centroids=centroids).select(
             F.col(id_col).alias("n_id"), F.col(vec_col).alias("cv"), "cell"
         )
-        probe = _probe_cells_fast_udf(N_IVF_CELLS, n_probe)
+        probe = _probe_cells_fast_udf(n_cells, n_probe, centroids=centroids)
         q = queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("qv"),
@@ -481,15 +488,21 @@ def ivf_knn(
         )
         scored = _cogroup_topk(c, q, k, id_type=corpus.schema[id_col].dataType)
     else:
+        if centroids is None:
+            cell_col = ivf_cell(F.col(vec_col))
+            probe_col = ivf_probe_cells(F.col(vec_col), n_probe=n_probe)
+        else:
+            cell_col = _argmin_cell_raw(F.col(vec_col), centroids)
+            probe_col = _probe_cells_raw(F.col(vec_col), centroids, n_probe)
         c = corpus.select(
             F.col(id_col).alias("n_id"),
             F.col(vec_col).alias("cv"),
-            ivf_cell(F.col(vec_col)).alias("cell"),
+            cell_col.alias("cell"),
         )
         q = queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("qv"),
-            F.explode(ivf_probe_cells(F.col(vec_col), n_probe=n_probe)).alias("cell"),
+            F.explode(probe_col).alias("cell"),
         )
         scored = c.join(F.broadcast(q), "cell").select(
             "q_id", "n_id", cosine(F.col("cv"), F.col("qv")).alias("sim")

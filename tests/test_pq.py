@@ -411,3 +411,31 @@ def test_kmeans_refined_centroids_needs_no_ids(spark, sf_dir):
     with_ids = kmeans_refined_centroids(emb)
     without = kmeans_refined_centroids(emb.select("v"))
     assert with_ids == without and len(without) == 8
+
+
+def test_ivf_knn_trained_centroids_kernels_agree(spark, sf_dir):
+    """ivf_knn under explicit trained centroids, matching ivf_pq_topk's
+    contract: expression and cogroup-matmul arms agree exactly, and the
+    exact-cosine scoring is unchanged (centroids only move the candidate
+    pruning)."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        ivf_knn,
+        kmeans_refined_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = kmeans_refined_centroids(corpus)
+
+    def rows(fast):
+        return sorted(
+            (r["q_id"], r["n_id"], r["rank"], r["cosine"])
+            for r in ivf_knn(
+                corpus, queries, n_probe=2, fast=fast, centroids=centroids
+            ).collect()
+        )
+
+    expr = rows(False)
+    fast = rows(True)
+    assert expr == fast and len(expr) == 30
