@@ -919,7 +919,8 @@ WHERE id = component
 )
 
 # merged registry row: the batch pipeline survivors next to the streaming
-# availableNow replay survivors, under a mode key
+# availableNow replay survivors, under a mode key; the embedding-stream
+# arm is appended below once the shared plane-projection helpers exist
 DEDUP_SURVIVORS_BOTH_SQL = (
     "SELECT doc_id, 'batch' AS mode FROM (\n"
     + DEDUP_SURVIVORS_SQL
@@ -1015,6 +1016,91 @@ def _bucket(vec: str) -> str:
     return " || ".join(
         f"(CASE WHEN {_proj(j, vec)} >= 0 THEN '1' ELSE '0' END)" for j in range(8)
     )
+
+
+# EMBEDDING streaming incremental dedup, declaratively (the
+# streaming/incremental_dedup.py embedding path replayed as four
+# micro-batches): the planted corpus is q_embedding_near_dup's (originals
+# + exact copies at vec_id + 100,000); batch = (vec_id + 1 for copies) % 4
+# (the copy offset is ≡ 0 mod 4 — same trap and same fix as the text
+# replay); band keys are 4 x 8-plane sign patterns over the shared
+# deterministic plane grid (band 0 IS the batch embedding_near_dup
+# bucket); in-batch candidate pairs (same-batch key collisions) are
+# verified with TRUE cosine >= 0.95 before forming components (the batch
+# holds its vectors); cross-batch key collisions contaminate the whole
+# component UNVERIFIED (the store keeps keys, never vectors).  Gate-corpus
+# safety of the float verify was measured: no candidate cosine within
+# 1e-6 of the threshold at sf0.001/sf0.01, so summation-order ulps cannot
+# flip a pair.
+def _eband_pattern(b: int, vec: str) -> str:
+    return "'e" + str(b) + ":' || " + " || ".join(
+        f"(CASE WHEN {_proj(b * 8 + j, vec)} >= 0 THEN '1' ELSE '0' END)"
+        for j in range(8)
+    )
+
+
+EMBEDDING_STREAMING_SURVIVORS_SQL = (
+    "WITH RECURSIVE eb AS (\n"
+    "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n"
+    "  UNION ALL\n"
+    "  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings\n"
+    "),\n"
+    "fb AS (SELECT vec_id, v,\n"
+    "  (vec_id + CASE WHEN vec_id >= 100000 THEN 1 ELSE 0 END) % 4 AS batch\n"
+    "  FROM eb),\n"
+    "ekeys AS (\n"
+    "  SELECT DISTINCT vec_id, batch, band_key FROM (\n"
+    + "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, batch, {_eband_pattern(b, 'v')} AS band_key FROM fb"
+        for b in range(4)
+    )
+    + "\n  ) t\n"
+    "),\n"
+    "cand AS (\n"
+    "  SELECT DISTINCT k1.vec_id AS va, k2.vec_id AS vb\n"
+    "  FROM ekeys k1 JOIN ekeys k2\n"
+    "    ON k1.band_key = k2.band_key AND k1.batch = k2.batch\n"
+    "   AND k1.vec_id < k2.vec_id\n"
+    "),\n"
+    "prs AS (\n"
+    "  SELECT va AS doc_a, vb AS doc_b\n"
+    "  FROM cand JOIN fb a ON a.vec_id = cand.va JOIN fb b ON b.vec_id = cand.vb\n"
+    "  WHERE list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k]*b.v[k]))\n"
+    "    / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k]*a.v[k])))\n"
+    "     * sqrt(list_sum(list_transform(range(1, len(b.v)+1), k -> b.v[k]*b.v[k]))))\n"
+    "    >= 0.95\n"
+    "),\n"
+    "edges AS (\n"
+    "  SELECT doc_a AS src, doc_b AS dst FROM prs\n"
+    "  UNION ALL\n"
+    "  SELECT doc_b, doc_a FROM prs\n"
+    "),\n"
+    "lbl(id, l) AS (\n"
+    "  SELECT vec_id, vec_id FROM eb\n"
+    "  UNION\n"
+    "  SELECT e.dst, lbl.l FROM lbl JOIN edges e ON e.src = lbl.id\n"
+    "),\n"
+    "comp AS (SELECT id, min(l) AS component FROM lbl GROUP BY id),\n"
+    "contaminated AS (\n"
+    "  SELECT DISTINCT c.component\n"
+    "  FROM ekeys k\n"
+    "  JOIN ekeys p ON p.band_key = k.band_key AND p.batch < k.batch\n"
+    "  JOIN comp c ON c.id = k.vec_id\n"
+    ")\n"
+    "SELECT CAST(id AS BIGINT) AS doc_id\n"
+    "FROM comp\n"
+    "WHERE id = component\n"
+    "  AND component NOT IN (SELECT component FROM contaminated)\n"
+)
+
+# append the embedding-stream arm to the dedup_survivors registry row
+DEDUP_SURVIVORS_BOTH_SQL = (
+    DEDUP_SURVIVORS_BOTH_SQL
+    + "\nUNION ALL\nSELECT doc_id, 'embedding_streaming' AS mode FROM (\n"
+    + EMBEDDING_STREAMING_SURVIVORS_SQL
+    + ")"
+)
+
 
 
 # PQ codebook twin of operators/similarity.py::_pq_centroid_weight /

@@ -521,6 +521,71 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors
 
 
+def _streaming_embedding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay q_embedding_near_dup's planted corpus (originals + exact
+    copies at vec_id + 100,000) through the EMBEDDING incremental
+    streaming dedup (streaming/incremental_dedup.py embedding path) as
+    four deterministic micro-batches and return survivor vec_ids.
+
+    Batch assignment mirrors the text replay exactly — the copy offset
+    (100,000) is ≡ 0 mod 4, so copies get +1 and land one batch after
+    their original (wrapping to batch 0, BEFORE it, for vec_id % 4 == 3);
+    every planted pair spans micro-batches.  In-batch candidates are
+    cosine-verified; cross-batch store collisions contaminate whole
+    components UNVERIFIED (keys only in the store) — the oracle computes
+    those exact semantics declaratively, chance band collisions included,
+    so the conservative contamination path itself is driver-checked.
+    ``compact_every=2`` keeps store compaction on the gated path."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.incremental_dedup import (
+        start_incremental_embedding_dedup_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    batch_key = (
+        F.col("vec_id")
+        + F.when(F.col("vec_id") >= 100000, F.lit(1)).otherwise(F.lit(0))
+    ) % 4
+    root = tempfile.mkdtemp(prefix="stream_emb_dedup_replay_")
+    dirs = {k: os.path.join(root, k) for k in ("in", "out", "store", "ckpt")}
+    os.makedirs(dirs["in"])
+    try:
+        for b in range(4):
+            scratch = os.path.join(root, f"scratch{b}")
+            both.filter(batch_key == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(scratch)
+            part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(dirs["in"], f"b{b}.parquet"))
+            q = start_incremental_embedding_dedup_stream(
+                spark,
+                input_dir=dirs["in"],
+                survivors_dir=dirs["out"],
+                store_dir=dirs["store"],
+                checkpoint_dir=dirs["ckpt"],
+                max_files_per_trigger=1,
+                compact_every=2,
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("embedding dedup replay did not finish")
+        survivors = (
+            spark.read.parquet(dirs["out"])
+            .select(F.col("vec_id").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return survivors
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the dedup pipeline, in BOTH execution modes under a mode key:
     'batch' = corpus -> MinHash-LSH pairs -> connected components ->
@@ -550,7 +615,10 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming = _streaming_dedup_replay(spark, sf_dir).withColumn(
         "mode", F.lit("streaming")
     )
-    return batch.unionByName(streaming)
+    emb_streaming = _streaming_embedding_replay(spark, sf_dir).withColumn(
+        "mode", F.lit("embedding_streaming")
+    )
+    return batch.unionByName(streaming).unionByName(emb_streaming)
 
 
 def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

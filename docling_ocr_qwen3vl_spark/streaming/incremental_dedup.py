@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -110,11 +111,18 @@ def read_signature_store(
     return store.select("band_key")
 
 
-def _check_store_config(spark: SparkSession, store_dir: str, cfg: ExtractConfig) -> None:
-    """Stamp (minhash_k, minhash_bands) into the store dir on first use and
-    fail LOUDLY on mismatch thereafter: keys from a different (k, bands)
-    can never collide with the stored ones, so a silent config change
-    would re-admit every previously-seen near-duplicate.
+def _check_store_config(
+    spark: SparkSession,
+    store_dir: str,
+    cfg: ExtractConfig | None = None,
+    expected: dict | None = None,
+) -> None:
+    """Stamp the key-generation config into the store dir on first use and
+    fail LOUDLY on mismatch thereafter: keys from a different config can
+    never collide with the stored ones, so a silent config change would
+    re-admit every previously-seen near-duplicate.  ``expected`` carries
+    the config dict directly (the embedding path); without it the stamp
+    is the text path's (minhash_k, minhash_bands) from ``cfg``.
 
     Goes through the Hadoop FileSystem API (not os.path), so the guard
     holds for hdfs://, s3a:// and every other FS Spark itself can read —
@@ -124,7 +132,9 @@ def _check_store_config(spark: SparkSession, store_dir: str, cfg: ExtractConfig)
     cannot both win (the loser re-reads and validates)."""
     import json
 
-    expected = {"minhash_k": cfg.minhash_k, "minhash_bands": cfg.minhash_bands}
+    if expected is None:
+        cfg = cfg or ExtractConfig()
+        expected = {"minhash_k": cfg.minhash_k, "minhash_bands": cfg.minhash_bands}
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     stamp = jvm.org.apache.hadoop.fs.Path(
@@ -378,5 +388,199 @@ def start_incremental_dedup_stream(
 
     return start_foreach_batch_stream(
         stream_documents(spark, input_dir, max_files_per_trigger),
+        process_batch, checkpoint_dir, available_now,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding modality: the same store / exactly-once / compaction machinery
+# over sign-bucket LSH band keys of an embedding stream.  The store design
+# is key-agnostic by construction (band_key strings, never payloads), so
+# the embedding path reuses read_signature_store, write_batch_idempotent,
+# compact_signature_store and the config stamp verbatim — only the key
+# kernel and the in-batch verification differ from the text path.
+# ---------------------------------------------------------------------------
+
+
+def embedding_band_keys(
+    embeddings: DataFrame,
+    n_bands: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Melted (doc_id, band_key) LSH band keys for an embedding batch:
+    band ``b`` is the sign pattern of the vector against hyperplanes
+    ``j in [b*n_planes, (b+1)*n_planes)`` of the SAME deterministic
+    integer grid the batch ``embedding_near_dup`` bucket uses — band 0's
+    pattern IS that bucket, the extra bands are the recall knob (a near
+    dup colliding on ANY band is a candidate).  Key strings are prefixed
+    with the band index so bands never collide with each other, and the
+    kernel is one Arrow-batched numpy matmul per batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.similarity import PLANE_ADD, PLANE_MULT
+
+    total = n_bands * n_planes
+
+    @pandas_udf("array<string>")
+    def keys_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        j = np.arange(total, dtype=np.int64)[:, None]
+        kk = np.arange(M.shape[1], dtype=np.int64)[None, :]
+        W = ((j * PLANE_MULT + kk * PLANE_ADD) % 1000 - 500).astype(np.float64)
+        signs = (M @ W.T) >= 0  # (n, total)
+        out = []
+        for row in signs:
+            out.append(
+                [
+                    f"e{b}:"
+                    + "".join(
+                        "1" if x else "0"
+                        for x in row[b * n_planes:(b + 1) * n_planes]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(keys_udf(F.col(vec_col))).alias("band_key"),
+    )
+
+
+def dedup_batch_embeddings(
+    batch_df: DataFrame,
+    store: DataFrame,
+    n_bands: int = 4,
+    n_planes: int = 8,
+    threshold: float = 0.95,
+) -> tuple[DataFrame, DataFrame]:
+    """One embedding micro-batch through in-batch + cross-batch near-dup
+    filtering — the dedup_batch shape with sign-bucket keys.
+
+    In-batch candidates (band-key collisions) are VERIFIED with true
+    cosine >= threshold before forming components: the batch holds its
+    vectors, so false bucket collisions cost nothing downstream.
+    Cross-batch collisions contaminate the whole component UNVERIFIED —
+    the store keeps band keys only (never vectors, the same
+    never-the-payload property as the text store), so a collision is
+    accepted conservatively, mirroring the text path's semantics.
+    Returns (survivors, batch_band_keys); NOT lazy (dup_components runs
+    jobs) and registers a cache — call inside scoped_caches()."""
+    from pyspark import StorageLevel
+
+    from ..operators.caching import register_cache
+    from ..operators.dedup import dup_components
+    from ..operators.similarity import cosine_fast
+
+    ids = batch_df.select(F.col("vec_id").alias("doc_id"))
+    # one cache boundary after the key kernel: the pair self-join (x2),
+    # the contamination join, and the store output all read these keys
+    keys = register_cache(
+        embedding_band_keys(batch_df, n_bands, n_planes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        ),
+        kind="emb_band_keys",
+    )
+    left = keys.select(F.col("doc_id").alias("doc_a"), "band_key")
+    right = keys.select(F.col("doc_id").alias("doc_b"), "band_key")
+    cand = (
+        left.join(right, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    va = batch_df.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    vb = batch_df.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cos", cosine_fast("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    comps = dup_components(ids, pairs)
+    reps = comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    contaminated_comps = (
+        keys.join(store, "band_key")
+        .select("doc_id")
+        .distinct()
+        .join(comps, "doc_id")
+        .select("component")
+        .distinct()
+    )
+    survivor_ids = reps.join(
+        contaminated_comps,
+        reps["doc_id"] == contaminated_comps["component"],
+        "left_anti",
+    ).select("doc_id")
+    survivors = batch_df.join(
+        survivor_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    batch_keys = keys.select("band_key").distinct()
+    return survivors, batch_keys
+
+
+def start_incremental_embedding_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    survivors_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    n_bands: int = 4,
+    n_planes: int = 8,
+    threshold: float = 0.95,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    compact_every: int | None = 16,
+) -> StreamingQuery:
+    """Streaming near-dup filtering for an EMBEDDING stream — the
+    start_incremental_dedup_stream contract (exactly-once survivors +
+    band-key store, config stamp, periodic compaction) with sign-bucket
+    LSH keys.  The stamp records (kind, n_bands, n_planes, threshold):
+    keys from a different plane geometry can never collide with the
+    stored ones, so a config change against an existing store fails
+    loudly exactly like the text path."""
+    _check_store_config(
+        spark,
+        store_dir,
+        expected={
+            "kind": "embedding_lsh",
+            "n_bands": n_bands,
+            "n_planes": n_planes,
+            "threshold": threshold,
+        },
+    )
+
+    from .stream import (
+        start_foreach_batch_stream,
+        stream_embeddings,
+        write_batch_idempotent,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store = read_signature_store(spark, store_dir, exclude_batch_id=batch_id)
+        with scoped_caches():
+            survivors, keys = dedup_batch_embeddings(
+                batch_df, store, n_bands, n_planes, threshold
+            )
+            write_batch_idempotent(survivors, survivors_dir, batch_id)
+            write_batch_idempotent(keys, store_dir, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_signature_store(spark, store_dir, batch_id)
+
+    return start_foreach_batch_stream(
+        stream_embeddings(spark, input_dir, max_files_per_trigger),
         process_batch, checkpoint_dir, available_now,
     )

@@ -27,6 +27,8 @@ DOCUMENTS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
 
+EMBEDDINGS_STREAM_SCHEMA = "vec_id bigint, embedding array<float>"
+
 
 def _stream_parquet(
     spark: SparkSession, schema: str, input_dir: str, max_files_per_trigger: int
@@ -62,6 +64,15 @@ def stream_documents(
 ) -> DataFrame:
     """File-source stream of document parquet drops."""
     return _stream_parquet(spark, DOCUMENTS_SCHEMA, input_dir, max_files_per_trigger)
+
+
+def stream_embeddings(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream of embedding parquet drops (vec_id, embedding)."""
+    return _stream_parquet(
+        spark, EMBEDDINGS_STREAM_SCHEMA, input_dir, max_files_per_trigger
+    )
 
 
 def write_batch_idempotent(spans: DataFrame, output_dir: str, batch_id: int) -> None:

@@ -258,13 +258,15 @@ def test_dedup_survivors_query_has_streaming_arm(spark):
     by_mode: dict[str, set] = {}
     for r in df.collect():
         by_mode.setdefault(r["mode"], set()).add(r["doc_id"])
-    assert set(by_mode) == {"batch", "streaming"}
-    # both arms deduplicated a corpus that holds one planted near-dup per
+    assert set(by_mode) == {"batch", "streaming", "embedding_streaming"}
+    # every arm deduplicated a corpus that holds one planted near-dup per
     # original: survivors must be nonempty and strictly fewer than the
-    # 2x-corpus doc count (originals + mutants)
+    # 2x-corpus row count (originals + planted dups)
     n_docs = 2 * spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    n_vecs = 2 * spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
     for mode, ids in by_mode.items():
-        assert 0 < len(ids) < n_docs, mode
+        bound = n_vecs if mode == "embedding_streaming" else n_docs
+        assert 0 < len(ids) < bound, mode
         assert all(i >= 0 for i in ids), mode
 
 

@@ -1,0 +1,188 @@
+"""Streaming incremental near-dup filtering for the EMBEDDING modality
+(streaming/incremental_dedup.py embedding section).
+
+The text path's store machinery (exactly-once per-batch outputs, config
+stamp, compaction) is key-agnostic; these tests pin that the sign-bucket
+key kernel composes with it correctly: in-batch cosine-verified dedup,
+cross-batch store-collision dedup across a stream RESTART, and the
+loud-stamp-mismatch guard under the embedding config dict.
+
+Vector construction is deterministic and collision-safe by design:
+distinct docs are scaled one-hot vectors (pairwise cosine 0 << 0.95);
+an in-batch dup is a 2x scaling of its original (identical sign pattern
+in every band, cosine exactly 1); a cross-batch dup is an exact copy.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+    start_incremental_embedding_dedup_stream,
+)
+
+DIM = 16
+
+
+def _vec(i: int, scale: float = 1.0):
+    # deterministic HASH-derived vector (a linear-congruential generator
+    # here would correlate with the kernel's linear-congruential plane
+    # grid and band-collide half the candidate pairs): varied sign
+    # patterns across vectors, near-zero pairwise cosine in expectation
+    # (distinct vectors never pass the 0.95 verify), and scaling
+    # preserves every hyperplane sign exactly
+    import hashlib
+
+    return [
+        scale
+        * (
+            int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16) % 1000
+            - 500
+        )
+        / 500.0
+        for k in range(DIM)
+    ]
+
+
+def _write_batch(spark, input_dir, name, rows):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    scratch = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(input_dir, f"{name}.parquet"))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _run(spark, dirs, **kw):
+    q = start_incremental_embedding_dedup_stream(
+        spark,
+        input_dir=dirs["in"],
+        survivors_dir=dirs["out"],
+        store_dir=dirs["store"],
+        checkpoint_dir=dirs["ckpt"],
+        **kw,
+    )
+    q.awaitTermination(300)
+
+
+def _survivor_ids(spark, out_dir):
+    return sorted(
+        r.vec_id for r in spark.read.parquet(out_dir).select("vec_id").collect()
+    )
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "out", "store", "ckpt")}
+    os.makedirs(d["in"])
+    return d
+
+
+def _disjoint_band_vectors(spark, n_needed):
+    """Greedily pick candidate vectors whose band-key SETS are pairwise
+    disjoint (computed through the real kernel, which is deterministic) —
+    cross-vector band collisions are chance events the conservative
+    drop semantics would legitimately act on, and this test pins the
+    streaming mechanics, not the kernel's collision statistics."""
+    from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        embedding_band_keys,
+    )
+
+    cands = [(i, _vec(i)) for i in range(48)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in cands],
+        "vec_id long, embedding array<float>",
+    )
+    keys: dict[int, set] = {}
+    for r in embedding_band_keys(df).collect():
+        keys.setdefault(r["doc_id"], set()).add(r["band_key"])
+    picked, used = [], set()
+    for i, v in cands:
+        if keys[i] & used:
+            continue
+        picked.append((i, v))
+        used |= keys[i]
+        if len(picked) == n_needed:
+            return picked
+    raise AssertionError("could not find enough band-disjoint vectors")
+
+
+def test_embedding_dedup_stream_end_to_end(spark, dirs):
+    vecs = _disjoint_band_vectors(spark, 5)
+    (a_id, a), (b_id, b), (c_id, c), (d_id, d), (e_id, e) = vecs
+
+    # batch 1: four band-disjoint vectors plus vec 100 = 2x of the first
+    # — same sign pattern in every band AND cosine exactly 1.0, so the
+    # in-batch cosine-verify keeps it a true pair; representative = min id
+    _write_batch(
+        spark, dirs["in"], "b1",
+        [(a_id, a), (b_id, b), (c_id, c), (d_id, d),
+         (100, [x * 2.0 for x in a])],
+    )
+    _run(spark, dirs)
+    assert _survivor_ids(spark, dirs["out"]) == sorted([a_id, b_id, c_id, d_id])
+
+    # batch 2 (new stream run, same checkpoint + store): vec 200 is an
+    # EXACT copy of an accepted vector -> dropped by the store lookup
+    # (conservative, unverified — the store holds keys, never vectors);
+    # the fifth band-disjoint vector is new and survives
+    _write_batch(
+        spark, dirs["in"], "b2",
+        [(200, d), (e_id, e)],
+    )
+    _run(spark, dirs)
+    assert _survivor_ids(spark, dirs["out"]) == sorted(
+        [a_id, b_id, c_id, d_id, e_id]
+    )
+
+
+def test_embedding_store_stamp_rejects_config_change(spark, dirs):
+    _write_batch(spark, dirs["in"], "b1", [(0, _vec(0)), (1, _vec(1))])
+    _run(spark, dirs)
+    with pytest.raises(ValueError, match="band keys are incompatible"):
+        start_incremental_embedding_dedup_stream(
+            spark,
+            input_dir=dirs["in"],
+            survivors_dir=dirs["out"],
+            store_dir=dirs["store"],
+            checkpoint_dir=dirs["ckpt"],
+            n_bands=2,
+        )
+
+
+def test_embedding_band_keys_band0_is_the_batch_bucket(spark, sf_dir):
+    """Band 0 of the streaming key kernel must equal the batch
+    embedding_near_dup path's LSH bucket (same grid, planes 0..7) — the
+    property that makes stream and batch semantics comparable."""
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        assign_buckets_fast,
+    )
+    from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        embedding_band_keys,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).limit(200)
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in assign_buckets_fast(emb, "v").collect()
+    }
+    band0 = {
+        r["doc_id"]: r["band_key"]
+        for r in embedding_band_keys(emb, vec_col="v")
+        .filter(F.col("band_key").startswith("e0:"))
+        .collect()
+    }
+    assert len(band0) == len(buckets) > 0
+    for vid, bucket in buckets.items():
+        assert band0[vid] == f"e0:{bucket}"
