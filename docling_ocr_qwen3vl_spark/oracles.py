@@ -1032,10 +1032,13 @@ def _bucket(vec: str) -> str:
 # safety of the float verify was measured: no candidate cosine within
 # 1e-6 of the threshold at sf0.001/sf0.01, so summation-order ulps cannot
 # flip a pair.
+# 32 planes per band (incremental_dedup.EMBEDDING_N_PLANES): the wide key
+# space that keeps the unverified cross-batch drop sound — see the engine
+# module's saturation note
 def _eband_pattern(b: int, vec: str) -> str:
     return "'e" + str(b) + ":' || " + " || ".join(
-        f"(CASE WHEN {_proj(b * 8 + j, vec)} >= 0 THEN '1' ELSE '0' END)"
-        for j in range(8)
+        f"(CASE WHEN {_proj(b * 32 + j, vec)} >= 0 THEN '1' ELSE '0' END)"
+        for j in range(32)
     )
 
 

@@ -445,6 +445,49 @@ def _replay_batch_key():
     ) % 4
 
 
+def _replay_stream(
+    spark: SparkSession,
+    frame: DataFrame,
+    batch_key,
+    start_fn,
+    id_col: str,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Shared replay scaffold for the streaming dedup arms: write each
+    ``batch_key == b`` slice of ``frame`` as one parquet drop, run the
+    availableNow stream (``start_fn(input_dir, out, store, ckpt)``) to
+    completion BEFORE the next drop (batch order pinned by the stream
+    checkpoint itself, no mtime assumptions), and return survivor ids as
+    (doc_id), eagerly checkpointed before the temp dirs vanish."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_replay_")
+    dirs = {k: os.path.join(root, k) for k in ("in", "out", "store", "ckpt")}
+    os.makedirs(dirs["in"])
+    try:
+        for b in range(n_batches):
+            scratch = os.path.join(root, f"scratch{b}")
+            frame.filter(batch_key == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(scratch)
+            part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(dirs["in"], f"b{b}.parquet"))
+            q = start_fn(dirs["in"], dirs["out"], dirs["store"], dirs["ckpt"])
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("streaming dedup replay did not finish")
+        return (
+            spark.read.parquet(dirs["out"])
+            .select(F.col(id_col).alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the mutant corpus through the INCREMENTAL streaming dedup
     (streaming/incremental_dedup.py) as four deterministic micro-batches
@@ -467,11 +510,6 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     is layout-independent (contamination = earlier-batch keys), so a
     compaction bug that loses or duplicates semantics fails the hash.
     Runs at the batch sweep's (k=64, bands=8) fast-kernel config."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
     from .config import ExtractConfig
     from .streaming.incremental_dedup import start_incremental_dedup_stream
 
@@ -482,42 +520,21 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("replay").alias("source"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
-    root = tempfile.mkdtemp(prefix="stream_dedup_replay_")
-    dirs = {k: os.path.join(root, k) for k in ("in", "out", "store", "ckpt")}
-    os.makedirs(dirs["in"])
     cfg = ExtractConfig(minhash_k=64, minhash_bands=8)
-    try:
-        for b in range(4):
-            # the file stream watches dirs["in"] itself: stage the single
-            # part file in scratch, then drop it in as b<N>.parquet
-            scratch = os.path.join(root, f"scratch{b}")
-            docs.filter(_replay_batch_key() == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(scratch)
-            part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
-            shutil.move(part, os.path.join(dirs["in"], f"b{b}.parquet"))
-            q = start_incremental_dedup_stream(
-                spark,
-                input_dir=dirs["in"],
-                survivors_dir=dirs["out"],
-                store_dir=dirs["store"],
-                checkpoint_dir=dirs["ckpt"],
-                config=cfg,
-                max_files_per_trigger=1,
-                compact_every=2,
-            )
-            if not q.awaitTermination(600):
-                q.stop()
-                raise RuntimeError("streaming dedup replay did not finish")
-        # materialize before the temp dirs vanish (the returned frame must
-        # not lazily re-read them at driver-collect time)
-        survivors = (
-            spark.read.parquet(dirs["out"])
-            .select("doc_id")
-            .localCheckpoint(eager=True)
+
+    def start(in_dir, out_dir, store_dir, ckpt_dir):
+        return start_incremental_dedup_stream(
+            spark,
+            input_dir=in_dir,
+            survivors_dir=out_dir,
+            store_dir=store_dir,
+            checkpoint_dir=ckpt_dir,
+            config=cfg,
+            max_files_per_trigger=1,
+            compact_every=2,
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+
+    return _replay_stream(spark, docs, _replay_batch_key(), start, "doc_id")
     return survivors
 
 
@@ -536,11 +553,6 @@ def _streaming_embedding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     those exact semantics declaratively, chance band collisions included,
     so the conservative contamination path itself is driver-checked.
     ``compact_every=2`` keeps store compaction on the gated path."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
     from .streaming.incremental_dedup import (
         start_incremental_embedding_dedup_stream,
     )
@@ -553,48 +565,35 @@ def _streaming_embedding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id")
         + F.when(F.col("vec_id") >= 100000, F.lit(1)).otherwise(F.lit(0))
     ) % 4
-    root = tempfile.mkdtemp(prefix="stream_emb_dedup_replay_")
-    dirs = {k: os.path.join(root, k) for k in ("in", "out", "store", "ckpt")}
-    os.makedirs(dirs["in"])
-    try:
-        for b in range(4):
-            scratch = os.path.join(root, f"scratch{b}")
-            both.filter(batch_key == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(scratch)
-            part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
-            shutil.move(part, os.path.join(dirs["in"], f"b{b}.parquet"))
-            q = start_incremental_embedding_dedup_stream(
-                spark,
-                input_dir=dirs["in"],
-                survivors_dir=dirs["out"],
-                store_dir=dirs["store"],
-                checkpoint_dir=dirs["ckpt"],
-                max_files_per_trigger=1,
-                compact_every=2,
-            )
-            if not q.awaitTermination(600):
-                q.stop()
-                raise RuntimeError("embedding dedup replay did not finish")
-        survivors = (
-            spark.read.parquet(dirs["out"])
-            .select(F.col("vec_id").alias("doc_id"))
-            .localCheckpoint(eager=True)
+
+    def start(in_dir, out_dir, store_dir, ckpt_dir):
+        return start_incremental_embedding_dedup_stream(
+            spark,
+            input_dir=in_dir,
+            survivors_dir=out_dir,
+            store_dir=store_dir,
+            checkpoint_dir=ckpt_dir,
+            max_files_per_trigger=1,
+            compact_every=2,
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+
+    return _replay_stream(spark, both, batch_key, start, "vec_id")
     return survivors
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End of the dedup pipeline, in BOTH execution modes under a mode key:
-    'batch' = corpus -> MinHash-LSH pairs -> connected components ->
+    """End of the dedup pipeline, in THREE execution modes under a mode
+    key: 'batch' = corpus -> MinHash-LSH pairs -> connected components ->
     SURVIVORS (component representatives only), i.e. the cleaned corpus a
     training run would actually read; 'streaming' = the same corpus
     replayed through the incremental streaming dedup's availableNow
-    micro-batches (in-batch components + signature-store contamination) —
-    the oracle computes the streaming semantics declaratively, so the
-    exactly-once store subsystem is driver-checked end-to-end."""
+    micro-batches (in-batch components + signature-store contamination);
+    'embedding_streaming' = the planted-copy embedding corpus replayed
+    through the EMBEDDING incremental dedup (sign-bucket band keys,
+    cosine-verified in-batch pairs, unverified cross-batch store
+    contamination).  Each streaming oracle computes its semantics
+    declaratively, so both exactly-once store subsystems are
+    driver-checked end-to-end."""
     from .operators.caching import scoped_caches
     from .operators.dedup import dup_components, lsh_candidate_pairs, minhash_signature
 

@@ -293,6 +293,59 @@ def compact_signature_store(
     return len(sources)
 
 
+def _component_survivor_ids(
+    ids: DataFrame, keys: DataFrame, pairs: DataFrame, store: DataFrame
+) -> DataFrame:
+    """The shared keep/drop core of BOTH modalities: in-batch components
+    over the verified pair graph, representatives, whole-component
+    contamination by any store collision (cross-batch, unverified —
+    collision is not transitive and connectivity flows through dropped
+    docs), survivors = uncontaminated representatives.  ``ids`` and
+    ``keys`` carry doc_id; returns (doc_id)."""
+    comps = dup_components(ids, pairs)
+    reps = comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    contaminated_comps = (
+        keys.join(store, "band_key")
+        .select("doc_id")
+        .distinct()
+        .join(comps, "doc_id")
+        .select("component")
+        .distinct()
+    )
+    return reps.join(
+        contaminated_comps,
+        reps["doc_id"] == contaminated_comps["component"],
+        "left_anti",
+    ).select("doc_id")
+
+
+def _make_process_batch(
+    spark: SparkSession,
+    dedup_fn,
+    survivors_dir: str,
+    store_dir: str,
+    compact_every: int | None,
+):
+    """The shared foreachBatch body of BOTH stream starters: store read
+    with self-batch exclusion, scoped-cache dedup, exactly-once survivor
+    + key writes, periodic compaction.  ``dedup_fn(batch_df, store) ->
+    (survivors, batch_keys)`` is the only modality-specific piece."""
+    from .stream import write_batch_idempotent
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store = read_signature_store(spark, store_dir, exclude_batch_id=batch_id)
+        with scoped_caches():
+            survivors, keys = dedup_fn(batch_df, store)
+            write_batch_idempotent(survivors, survivors_dir, batch_id)
+            write_batch_idempotent(keys, store_dir, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_signature_store(spark, store_dir, batch_id)
+
+    return process_batch
+
+
 def dedup_batch(
     batch_df: DataFrame,
     store: DataFrame,
@@ -326,24 +379,10 @@ def dedup_batch(
         kind="signatures",
     )
     pairs = lsh_candidate_pairs(slim)
-    comps = dup_components(batch_df.select("doc_id"), pairs)
-    reps = comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
     all_keys = melt_band_keys(slim)
-    # cross-batch: a store collision on ANY member contaminates the whole
-    # component (collision is not transitive; see module docstring)
-    contaminated_comps = (
-        all_keys.join(store, "band_key")
-        .select("doc_id")
-        .distinct()
-        .join(comps, "doc_id")
-        .select("component")
-        .distinct()
+    survivor_ids = _component_survivor_ids(
+        batch_df.select("doc_id"), all_keys, pairs, store
     )
-    survivor_ids = reps.join(
-        contaminated_comps,
-        reps["doc_id"] == contaminated_comps["component"],
-        "left_anti",
-    ).select("doc_id")
     survivors = batch_df.join(survivor_ids, "doc_id")
     batch_keys = all_keys.select("band_key").distinct()
     return survivors, batch_keys
@@ -373,19 +412,13 @@ def start_incremental_dedup_stream(
     cfg = config or ExtractConfig()
     _check_store_config(spark, store_dir, cfg)
 
-    from .stream import start_foreach_batch_stream, write_batch_idempotent
+    from .stream import start_foreach_batch_stream
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        store = read_signature_store(spark, store_dir, exclude_batch_id=batch_id)
-        with scoped_caches():
-            survivors, keys = dedup_batch(batch_df, store, cfg)
-            write_batch_idempotent(survivors, survivors_dir, batch_id)
-            write_batch_idempotent(keys, store_dir, batch_id)
-        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_signature_store(spark, store_dir, batch_id)
-
+    process_batch = _make_process_batch(
+        spark,
+        lambda batch_df, store: dedup_batch(batch_df, store, cfg),
+        survivors_dir, store_dir, compact_every,
+    )
     return start_foreach_batch_stream(
         stream_documents(spark, input_dir, max_files_per_trigger),
         process_batch, checkpoint_dir, available_now,
@@ -402,10 +435,27 @@ def start_incremental_dedup_stream(
 # ---------------------------------------------------------------------------
 
 
+# Default plane count per band: the key space is n_bands x 2^n_planes and
+# the cross-batch drop is UNVERIFIED, so the space must vastly exceed the
+# stream's distinct-content diversity or the store saturates and drops
+# everything (a 4 x 2^8 = 1024-key space saturates after a few thousand
+# diverse vectors — the round-5 review finding).  32 planes/band gives
+# 4 x 2^32 ≈ 1.7e10 keys while keeping the tight-duplicate recall the
+# unverified semantics target: a sign flips with probability theta/pi, so
+# a cosine-0.9999 duplicate (re-upload / re-crawl, the streaming case)
+# matches a 32-bit band with (1 - 0.0045)^32 ≈ 0.87 and ANY of 4 bands
+# with ≈ 0.9997; EXACT copies always match (identical signs).  Marginal
+# 0.95-cosine near-dups need a cosine verify, which needs vectors — the
+# in-batch pass has them and verifies; cross-batch stays conservative by
+# design.  Scaling past ~10^10 distinct contents: raise n_planes (keys
+# stay short strings; recall then wants more bands too).
+EMBEDDING_N_PLANES = 32
+
+
 def embedding_band_keys(
     embeddings: DataFrame,
     n_bands: int = 4,
-    n_planes: int = 8,
+    n_planes: int = EMBEDDING_N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -413,10 +463,14 @@ def embedding_band_keys(
     band ``b`` is the sign pattern of the vector against hyperplanes
     ``j in [b*n_planes, (b+1)*n_planes)`` of the SAME deterministic
     integer grid the batch ``embedding_near_dup`` bucket uses — band 0's
-    pattern IS that bucket, the extra bands are the recall knob (a near
-    dup colliding on ANY band is a candidate).  Key strings are prefixed
-    with the band index so bands never collide with each other, and the
-    kernel is one Arrow-batched numpy matmul per batch."""
+    FIRST 8 BITS are exactly that bucket, the extra planes widen the key
+    space (see EMBEDDING_N_PLANES) and the extra bands are the recall
+    knob (a near dup colliding on ANY band is a candidate).  Key strings
+    are prefixed with the band index so bands never collide with each
+    other, and the kernel is one Arrow-batched numpy matmul per batch.
+    A null or wrong-width vector fails LOUDLY with its vec_ids named —
+    an unguarded np.stack error would wedge the stream on a permanently
+    replayed batch with no indication of the bad row."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -425,7 +479,20 @@ def embedding_band_keys(
     total = n_bands * n_planes
 
     @pandas_udf("array<string>")
-    def keys_udf(vs: pd.Series) -> pd.Series:
+    def keys_udf(ids: pd.Series, vs: pd.Series) -> pd.Series:
+        lens = {len(v) for v in vs if v is not None}
+        if any(v is None for v in vs) or len(lens) > 1:
+            culprits = [
+                int(i)
+                for i, v in zip(ids, vs)
+                if v is None or len(v) != max(lens, default=0)
+            ][:5]
+            raise ValueError(
+                "embedding_band_keys: null or ragged embedding rows "
+                f"(offending vec_ids {culprits}, widths seen {sorted(lens)})"
+                " — fix or filter the input; an unguarded batch would "
+                "wedge the stream on permanent replay"
+            )
         M = np.stack(vs.to_numpy()).astype(np.float64)
         j = np.arange(total, dtype=np.int64)[:, None]
         kk = np.arange(M.shape[1], dtype=np.int64)[None, :]
@@ -447,7 +514,7 @@ def embedding_band_keys(
 
     return embeddings.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(keys_udf(F.col(vec_col))).alias("band_key"),
+        F.explode(keys_udf(F.col(id_col), F.col(vec_col))).alias("band_key"),
     )
 
 
@@ -455,7 +522,7 @@ def dedup_batch_embeddings(
     batch_df: DataFrame,
     store: DataFrame,
     n_bands: int = 4,
-    n_planes: int = 8,
+    n_planes: int = EMBEDDING_N_PLANES,
     threshold: float = 0.95,
 ) -> tuple[DataFrame, DataFrame]:
     """One embedding micro-batch through in-batch + cross-batch near-dup
@@ -473,7 +540,6 @@ def dedup_batch_embeddings(
     from pyspark import StorageLevel
 
     from ..operators.caching import register_cache
-    from ..operators.dedup import dup_components
     from ..operators.similarity import cosine_fast
 
     ids = batch_df.select(F.col("vec_id").alias("doc_id"))
@@ -508,21 +574,7 @@ def dedup_batch_embeddings(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b")
     )
-    comps = dup_components(ids, pairs)
-    reps = comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
-    contaminated_comps = (
-        keys.join(store, "band_key")
-        .select("doc_id")
-        .distinct()
-        .join(comps, "doc_id")
-        .select("component")
-        .distinct()
-    )
-    survivor_ids = reps.join(
-        contaminated_comps,
-        reps["doc_id"] == contaminated_comps["component"],
-        "left_anti",
-    ).select("doc_id")
+    survivor_ids = _component_survivor_ids(ids, keys, pairs, store)
     survivors = batch_df.join(
         survivor_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
     )
@@ -537,7 +589,7 @@ def start_incremental_embedding_dedup_stream(
     store_dir: str,
     checkpoint_dir: str,
     n_bands: int = 4,
-    n_planes: int = 8,
+    n_planes: int = EMBEDDING_N_PLANES,
     threshold: float = 0.95,
     available_now: bool = True,
     max_files_per_trigger: int = 1,
@@ -546,10 +598,13 @@ def start_incremental_embedding_dedup_stream(
     """Streaming near-dup filtering for an EMBEDDING stream — the
     start_incremental_dedup_stream contract (exactly-once survivors +
     band-key store, config stamp, periodic compaction) with sign-bucket
-    LSH keys.  The stamp records (kind, n_bands, n_planes, threshold):
-    keys from a different plane geometry can never collide with the
-    stored ones, so a config change against an existing store fails
-    loudly exactly like the text path."""
+    LSH keys.  The stamp records the KEY GEOMETRY only (kind, n_bands,
+    n_planes) — keys from a different plane geometry can never collide
+    with the stored ones, so a geometry change against an existing store
+    fails loudly exactly like the text path.  ``threshold`` is NOT
+    stamped: it gates only the in-batch cosine verify (the store holds
+    keys, never thresholds), so tuning it on restart is legitimate and
+    must not demand a full re-dedup."""
     _check_store_config(
         spark,
         store_dir,
@@ -557,29 +612,18 @@ def start_incremental_embedding_dedup_stream(
             "kind": "embedding_lsh",
             "n_bands": n_bands,
             "n_planes": n_planes,
-            "threshold": threshold,
         },
     )
 
-    from .stream import (
-        start_foreach_batch_stream,
-        stream_embeddings,
-        write_batch_idempotent,
+    from .stream import start_foreach_batch_stream, stream_embeddings
+
+    process_batch = _make_process_batch(
+        spark,
+        lambda batch_df, store: dedup_batch_embeddings(
+            batch_df, store, n_bands, n_planes, threshold
+        ),
+        survivors_dir, store_dir, compact_every,
     )
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        store = read_signature_store(spark, store_dir, exclude_batch_id=batch_id)
-        with scoped_caches():
-            survivors, keys = dedup_batch_embeddings(
-                batch_df, store, n_bands, n_planes, threshold
-            )
-            write_batch_idempotent(survivors, survivors_dir, batch_id)
-            write_batch_idempotent(keys, store_dir, batch_id)
-        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_signature_store(spark, store_dir, batch_id)
-
     return start_foreach_batch_stream(
         stream_embeddings(spark, input_dir, max_files_per_trigger),
         process_batch, checkpoint_dir, available_now,

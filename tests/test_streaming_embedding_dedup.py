@@ -8,9 +8,10 @@ cross-batch store-collision dedup across a stream RESTART, and the
 loud-stamp-mismatch guard under the embedding config dict.
 
 Vector construction is deterministic and collision-safe by design:
-distinct docs are scaled one-hot vectors (pairwise cosine 0 << 0.95);
-an in-batch dup is a 2x scaling of its original (identical sign pattern
-in every band, cosine exactly 1); a cross-batch dup is an exact copy.
+distinct docs are hash-derived full-range vectors screened to pairwise
+band-disjointness through the real kernel; an in-batch dup is a 2x
+scaling of its original (identical sign pattern in every band, cosine
+exactly 1); a cross-batch dup is an exact copy.
 """
 
 from __future__ import annotations
@@ -71,7 +72,12 @@ def _run(spark, dirs, **kw):
         checkpoint_dir=dirs["ckpt"],
         **kw,
     )
-    q.awaitTermination(300)
+    # a timed-out stream left running would make later assertions read a
+    # partially-written survivors dir (and collide with the next run on
+    # the same checkpoint) — fail HERE with the real cause instead
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("embedding dedup stream did not finish in 300s")
 
 
 def _survivor_ids(spark, out_dir):
@@ -159,14 +165,18 @@ def test_embedding_store_stamp_rejects_config_change(spark, dirs):
         )
 
 
-def test_embedding_band_keys_band0_is_the_batch_bucket(spark, sf_dir):
-    """Band 0 of the streaming key kernel must equal the batch
-    embedding_near_dup path's LSH bucket (same grid, planes 0..7) — the
-    property that makes stream and batch semantics comparable."""
+def test_embedding_band_keys_band0_prefix_is_the_batch_bucket(spark, sf_dir):
+    """Band 0 of the streaming key kernel uses planes 0..n_planes-1 of
+    the SAME grid as the batch embedding_near_dup bucket (planes 0..7),
+    so band 0's first 8 bits must BE that bucket — the property that
+    makes stream and batch semantics comparable.  Also pins the widened
+    default key width (EMBEDDING_N_PLANES bits per band — the key-space
+    saturation fix)."""
     from docling_ocr_qwen3vl_spark.operators.similarity import (
         assign_buckets_fast,
     )
     from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        EMBEDDING_N_PLANES,
         embedding_band_keys,
     )
 
@@ -185,4 +195,21 @@ def test_embedding_band_keys_band0_is_the_batch_bucket(spark, sf_dir):
     }
     assert len(band0) == len(buckets) > 0
     for vid, bucket in buckets.items():
-        assert band0[vid] == f"e0:{bucket}"
+        assert len(band0[vid]) == 3 + EMBEDDING_N_PLANES
+        assert band0[vid].startswith(f"e0:{bucket}")
+
+
+def test_embedding_band_keys_reject_null_and_ragged(spark, sf_dir):
+    """A null or wrong-width embedding must fail LOUDLY with the
+    offending vec_ids named — an unguarded numpy error would wedge the
+    stream on a permanently replayed batch (review finding r5)."""
+    from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        embedding_band_keys,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, [0.1] * 16), (1, None), (2, [0.2] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="null or ragged"):
+        embedding_band_keys(bad).collect()
