@@ -673,6 +673,28 @@ def _pq_sub_dist2_lit(vec: Column, s: int, j: int, sub_dim: int, C) -> Column:
     return total
 
 
+def _pq_encode_np(V, m: int, n_centroids: int, sub_dim: int, C):
+    """The numpy PQ encode kernel: (codes (n, m) int, err (n,) float).
+    Accumulates over k SEQUENTIALLY, matching the fold order of the
+    expression kernel — np.sum's pairwise association differs in the
+    last ulp, enough to flip a 6dp boundary or a near-tie.  Factored out
+    of the mapInPandas closure so the hypothesis differential drives the
+    SHIPPED kernel, not a test-local copy."""
+    import numpy as np
+
+    n = V.shape[0]
+    Vs = V.reshape(n, m, 1, sub_dim)
+    D = np.zeros((n, m, n_centroids))
+    for k in range(sub_dim):
+        diff = Vs[:, :, 0, k][:, :, None] - C[None, :, :, k]
+        D += diff * diff
+    codes = D.argmin(axis=2)  # first occurrence = lowest id
+    err = np.zeros(n)
+    for s in range(m):
+        err += D[np.arange(n), s, codes[:, s]]
+    return codes, err
+
+
 def pq_encode(
     embeddings: DataFrame,
     vec_col: str = "v",
@@ -734,18 +756,7 @@ def pq_encode(
             V = np.stack(pdf[vec_col].to_numpy())
             if V.shape[1] != dim:
                 raise ValueError(f"expected dim {dim}, got {V.shape[1]}")
-            Vs = V.reshape(len(pdf), m, 1, sub_dim)
-            # accumulate over k SEQUENTIALLY (matching the fold order of
-            # the expression kernel; np.sum's pairwise association differs
-            # in the last ulp, enough to flip a 6dp boundary or a near-tie)
-            D = np.zeros((len(pdf), m, n_centroids))
-            for k in range(sub_dim):
-                diff = Vs[:, :, 0, k][:, :, None] - C[None, :, :, k]
-                D += diff * diff
-            codes = D.argmin(axis=2)  # first occurrence = lowest id
-            err = np.zeros(len(pdf))
-            for s in range(m):
-                err += D[np.arange(len(pdf)), s, codes[:, s]]
+            codes, err = _pq_encode_np(V, m, n_centroids, sub_dim, C)
             out = pdf.copy()
             out["pq_code"] = ["-".join(str(c) for c in row) for row in codes]
             out["recon_err"] = err
