@@ -907,6 +907,23 @@ def _adc_rank_and_rerank(
     )
 
 
+def _pq_adc_tables(Q, m: int, n_centroids: int, sub_dim: int, C):
+    """Per-query ADC distance tables (n, m, n_centroids) from raw query
+    vectors, accumulated over k SEQUENTIALLY — the same fold order as
+    _pq_encode_np and the expression kernel (the cross-kernel float
+    contract).  Factored out of the cogroup closure so the hypothesis
+    differential drives the SHIPPED table build."""
+    import numpy as np
+
+    n = Q.shape[0]
+    Qs = Q.reshape(n, m, 1, sub_dim)
+    T = np.zeros((n, m, n_centroids))
+    for kk in range(sub_dim):
+        diff = Qs[:, :, 0, kk][:, :, None] - C[None, :, :, kk]
+        T += diff * diff
+    return T
+
+
 def _pq_adc_cogroup(
     codes: DataFrame,
     q_prepared: DataFrame,
@@ -950,11 +967,9 @@ def _pq_adc_cogroup(
     def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
         if len(cdf) == 0 or len(qdf) == 0:
             return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
-        Q = np.stack(qdf["qv"].to_numpy()).reshape(len(qdf), m, 1, sub_dim)
-        T = np.zeros((len(qdf), m, n_centroids))
-        for kk in range(sub_dim):
-            diff = Q[:, :, 0, kk][:, :, None] - C[None, :, :, kk]
-            T += diff * diff
+        T = _pq_adc_tables(
+            np.stack(qdf["qv"].to_numpy()), m, n_centroids, sub_dim, C
+        )
         codes_np = cdf[code_cols].to_numpy()  # (n, m)
         n_ids = cdf["n_id"].to_numpy()
         q_ids = qdf["q_id"].to_numpy()

@@ -1032,13 +1032,16 @@ def _bucket(vec: str) -> str:
 # safety of the float verify was measured: no candidate cosine within
 # 1e-6 of the threshold at sf0.001/sf0.01, so summation-order ulps cannot
 # flip a pair.
-# 32 planes per band (incremental_dedup.EMBEDDING_N_PLANES): the wide key
-# space that keeps the unverified cross-batch drop sound — see the engine
-# module's saturation note
-def _eband_pattern(b: int, vec: str) -> str:
+# Two band geometries, one grid (incremental_dedup.EMBEDDING_N_PLANES /
+# EMBEDDING_CAND_PLANES): 32-plane bands for the STORE (the wide key
+# space that keeps the unverified cross-batch drop sound — see the
+# engine module's saturation note) and 8-plane bands for the IN-BATCH
+# candidates (narrow = high candidate recall at the threshold; false
+# collisions are cosine-verified away)
+def _eband_pattern(b: int, vec: str, planes: int = 32) -> str:
     return "'e" + str(b) + ":' || " + " || ".join(
-        f"(CASE WHEN {_proj(b * 32 + j, vec)} >= 0 THEN '1' ELSE '0' END)"
-        for j in range(32)
+        f"(CASE WHEN {_proj(b * planes + j, vec)} >= 0 THEN '1' ELSE '0' END)"
+        for j in range(planes)
     )
 
 
@@ -1059,9 +1062,17 @@ EMBEDDING_STREAMING_SURVIVORS_SQL = (
     )
     + "\n  ) t\n"
     "),\n"
+    "ckeys AS (\n"
+    "  SELECT DISTINCT vec_id, batch, band_key FROM (\n"
+    + "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, batch, {_eband_pattern(b, 'v', planes=8)} AS band_key FROM fb"
+        for b in range(4)
+    )
+    + "\n  ) t\n"
+    "),\n"
     "cand AS (\n"
     "  SELECT DISTINCT k1.vec_id AS va, k2.vec_id AS vb\n"
-    "  FROM ekeys k1 JOIN ekeys k2\n"
+    "  FROM ckeys k1 JOIN ckeys k2\n"
     "    ON k1.band_key = k2.band_key AND k1.batch = k2.batch\n"
     "   AND k1.vec_id < k2.vec_id\n"
     "),\n"

@@ -535,7 +535,6 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay_stream(spark, docs, _replay_batch_key(), start, "doc_id")
-    return survivors
 
 
 def _streaming_embedding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,7 +577,6 @@ def _streaming_embedding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay_stream(spark, both, batch_key, start, "vec_id")
-    return survivors
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -151,6 +151,11 @@ def _check_store_config(
         return json.loads(raw)
 
     def validate(found: dict) -> None:
+        # compare the EXPECTED keys only: an extra legacy stamp key (e.g.
+        # the pre-round-5 'threshold') is informational, not a geometry
+        # change, and must not force a false full re-dedup — a MISSING
+        # expected key still mismatches (found.get -> None)
+        found = {k: found.get(k) for k in expected}
         if found != expected:
             raise ValueError(
                 f"signature store at {store_dir} was built with {found}; "
@@ -458,19 +463,24 @@ def embedding_band_keys(
     n_planes: int = EMBEDDING_N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Melted (doc_id, band_key) LSH band keys for an embedding batch:
     band ``b`` is the sign pattern of the vector against hyperplanes
     ``j in [b*n_planes, (b+1)*n_planes)`` of the SAME deterministic
-    integer grid the batch ``embedding_near_dup`` bucket uses — band 0's
-    FIRST 8 BITS are exactly that bucket, the extra planes widen the key
-    space (see EMBEDDING_N_PLANES) and the extra bands are the recall
-    knob (a near dup colliding on ANY band is a candidate).  Key strings
-    are prefixed with the band index so bands never collide with each
-    other, and the kernel is one Arrow-batched numpy matmul per batch.
-    A null or wrong-width vector fails LOUDLY with its vec_ids named —
-    an unguarded np.stack error would wedge the stream on a permanently
-    replayed batch with no indication of the bad row."""
+    integer grid the batch ``embedding_near_dup`` bucket uses — at the
+    default width band 0's FIRST 8 BITS are exactly that bucket, the
+    extra planes widen the key space (see EMBEDDING_N_PLANES) and the
+    extra bands are the recall knob (a near dup colliding on ANY band is
+    a candidate).  Key strings are prefixed with the band index so bands
+    never collide with each other, and the kernel is one Arrow-batched
+    numpy matmul per batch.  A null or wrong-width vector fails LOUDLY
+    with its vec_ids named — an unguarded np.stack error would wedge the
+    stream on a permanently replayed batch with no indication of the bad
+    row.  Declare ``dim`` to make the width check ABSOLUTE: without it
+    only within-Arrow-batch consistency is checkable, so raggedness that
+    arrives width-segregated across files/partitions passes silently
+    (and produces incomparable keys — the plane grid is width-sized)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -481,17 +491,18 @@ def embedding_band_keys(
     @pandas_udf("array<string>")
     def keys_udf(ids: pd.Series, vs: pd.Series) -> pd.Series:
         lens = {len(v) for v in vs if v is not None}
-        if any(v is None for v in vs) or len(lens) > 1:
+        ref = dim if dim is not None else max(lens, default=0)
+        if any(v is None for v in vs) or lens - {ref}:
             culprits = [
                 int(i)
                 for i, v in zip(ids, vs)
-                if v is None or len(v) != max(lens, default=0)
+                if v is None or len(v) != ref
             ][:5]
             raise ValueError(
                 "embedding_band_keys: null or ragged embedding rows "
-                f"(offending vec_ids {culprits}, widths seen {sorted(lens)})"
-                " — fix or filter the input; an unguarded batch would "
-                "wedge the stream on permanent replay"
+                f"(offending vec_ids {culprits}, widths seen {sorted(lens)},"
+                f" expected {ref}) — fix or filter the input; an unguarded"
+                " batch would wedge the stream on permanent replay"
             )
         M = np.stack(vs.to_numpy()).astype(np.float64)
         j = np.arange(total, dtype=np.int64)[:, None]
@@ -518,41 +529,64 @@ def embedding_band_keys(
     )
 
 
+# In-batch candidate bands stay NARROW: candidates are cosine-verified, so
+# false band collisions cost one verify and nothing else, while a 32-bit
+# band would gate the verify itself — at cosine 0.95 a pair matches some
+# 8-bit band with ~89% but some 32-bit band with only ~13% (the round-5
+# review finding).  The WIDE bands are for the store, where collisions
+# drop UNVERIFIED and precision is what matters.
+EMBEDDING_CAND_PLANES = 8
+
+
 def dedup_batch_embeddings(
     batch_df: DataFrame,
     store: DataFrame,
     n_bands: int = 4,
     n_planes: int = EMBEDDING_N_PLANES,
     threshold: float = 0.95,
+    cand_planes: int = EMBEDDING_CAND_PLANES,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One embedding micro-batch through in-batch + cross-batch near-dup
     filtering — the dedup_batch shape with sign-bucket keys.
 
-    In-batch candidates (band-key collisions) are VERIFIED with true
-    cosine >= threshold before forming components: the batch holds its
-    vectors, so false bucket collisions cost nothing downstream.
-    Cross-batch collisions contaminate the whole component UNVERIFIED —
-    the store keeps band keys only (never vectors, the same
-    never-the-payload property as the text store), so a collision is
-    accepted conservatively, mirroring the text path's semantics.
-    Returns (survivors, batch_band_keys); NOT lazy (dup_components runs
-    jobs) and registers a cache — call inside scoped_caches()."""
+    TWO key geometries, one grid: in-batch CANDIDATES come from narrow
+    ``cand_planes``-bit bands and are VERIFIED with true cosine >=
+    threshold before forming components — the batch holds its vectors,
+    so false band collisions cost one verify and nothing else, and the
+    narrow bands keep candidate recall high at the threshold (a 32-bit
+    band would gate the verify itself: ~13% vs ~89% at cosine 0.95).
+    The STORE keys are the wide ``n_planes``-bit bands: cross-batch
+    collisions contaminate the whole component UNVERIFIED — the store
+    keeps band keys only (never vectors, the same never-the-payload
+    property as the text store) — so there precision is what matters and
+    the wide key space keeps the conservative drop sound (see
+    EMBEDDING_N_PLANES).  Returns (survivors, batch_band_keys); NOT lazy
+    (dup_components runs jobs) and registers caches — call inside
+    scoped_caches()."""
     from pyspark import StorageLevel
 
     from ..operators.caching import register_cache
     from ..operators.similarity import cosine_fast
 
     ids = batch_df.select(F.col("vec_id").alias("doc_id"))
-    # one cache boundary after the key kernel: the pair self-join (x2),
-    # the contamination join, and the store output all read these keys
+    # one cache boundary after each key kernel: the wide keys feed the
+    # contamination join AND the store output; the narrow keys feed the
+    # candidate self-join twice
     keys = register_cache(
-        embedding_band_keys(batch_df, n_bands, n_planes).persist(
+        embedding_band_keys(batch_df, n_bands, n_planes, dim=dim).persist(
             StorageLevel.MEMORY_AND_DISK
         ),
         kind="emb_band_keys",
     )
-    left = keys.select(F.col("doc_id").alias("doc_a"), "band_key")
-    right = keys.select(F.col("doc_id").alias("doc_b"), "band_key")
+    cand_keys = register_cache(
+        embedding_band_keys(batch_df, n_bands, cand_planes, dim=dim).persist(
+            StorageLevel.MEMORY_AND_DISK
+        ),
+        kind="emb_cand_keys",
+    )
+    left = cand_keys.select(F.col("doc_id").alias("doc_a"), "band_key")
+    right = cand_keys.select(F.col("doc_id").alias("doc_b"), "band_key")
     cand = (
         left.join(right, "band_key")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -594,17 +628,20 @@ def start_incremental_embedding_dedup_stream(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
     compact_every: int | None = 16,
+    cand_planes: int = EMBEDDING_CAND_PLANES,
+    dim: int | None = None,
 ) -> StreamingQuery:
     """Streaming near-dup filtering for an EMBEDDING stream — the
     start_incremental_dedup_stream contract (exactly-once survivors +
     band-key store, config stamp, periodic compaction) with sign-bucket
-    LSH keys.  The stamp records the KEY GEOMETRY only (kind, n_bands,
-    n_planes) — keys from a different plane geometry can never collide
-    with the stored ones, so a geometry change against an existing store
-    fails loudly exactly like the text path.  ``threshold`` is NOT
-    stamped: it gates only the in-batch cosine verify (the store holds
-    keys, never thresholds), so tuning it on restart is legitimate and
-    must not demand a full re-dedup."""
+    LSH keys.  The stamp records the STORE-KEY GEOMETRY only (kind,
+    n_bands, n_planes, dim) — keys from a different plane geometry or
+    vector width can never collide with the stored ones, so a geometry
+    change against an existing store fails loudly exactly like the text
+    path.  ``threshold`` and ``cand_planes`` are NOT stamped: they gate
+    only the in-batch candidate/verify pass (the store holds keys, never
+    thresholds), so tuning them on restart is legitimate and must not
+    demand a full re-dedup."""
     _check_store_config(
         spark,
         store_dir,
@@ -612,6 +649,7 @@ def start_incremental_embedding_dedup_stream(
             "kind": "embedding_lsh",
             "n_bands": n_bands,
             "n_planes": n_planes,
+            "dim": dim,
         },
     )
 
@@ -620,7 +658,8 @@ def start_incremental_embedding_dedup_stream(
     process_batch = _make_process_batch(
         spark,
         lambda batch_df, store: dedup_batch_embeddings(
-            batch_df, store, n_bands, n_planes, threshold
+            batch_df, store, n_bands, n_planes, threshold,
+            cand_planes=cand_planes, dim=dim,
         ),
         survivors_dir, store_dir, compact_every,
     )

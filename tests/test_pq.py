@@ -507,15 +507,14 @@ def test_numpy_adc_gather_matches_scalar_sum(v, code_seed):
     """The cogroup ADC table build + gather (same sequential-k loop as
     _pq_encode_np) must equal the scalar per-subspace table sum for an
     arbitrary code word."""
-    from docling_ocr_qwen3vl_spark.operators.similarity import _pq_codebook_np
+    from docling_ocr_qwen3vl_spark.operators.similarity import (
+        _pq_adc_tables,
+        _pq_codebook_np,
+    )
 
     m, nc, sub = PQ_M, PQ_CENTROIDS, 8
     C = _pq_codebook_np(m, nc, sub)
-    Q = np.array([v], dtype=np.float64).reshape(1, m, 1, sub)
-    T = np.zeros((1, m, nc))
-    for kk in range(sub):
-        diff = Q[:, :, 0, kk][:, :, None] - C[None, :, :, kk]
-        T += diff * diff
+    T = _pq_adc_tables(np.array([v], dtype=np.float64), m, nc, sub, C)
     codes = [(code_seed + s) % nc for s in range(m)]
     gathered = sum(T[0, s, codes[s]] for s in range(m))
     ref = 0.0

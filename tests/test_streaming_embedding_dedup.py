@@ -213,3 +213,43 @@ def test_embedding_band_keys_reject_null_and_ragged(spark, sf_dir):
     )
     with pytest.raises(Exception, match="null or ragged"):
         embedding_band_keys(bad).collect()
+
+
+def test_marginal_pair_caught_by_narrow_candidate_bands(spark, dirs):
+    """The decoupled-geometry guarantee (review round-5): an in-batch
+    pair at cosine ~0.955 that collides on an 8-bit candidate band but
+    on NO 32-bit store band (pair found by deterministic search against
+    the shared grid) must still be deduped — under a single 32-bit
+    geometry the cosine verify would never see it and both would
+    silently survive."""
+    from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        dedup_batch_embeddings,
+        embedding_band_keys,
+        read_signature_store,
+    )
+
+    a = [0.574, -0.616, -0.758, 0.072, -0.154, -0.668, -0.914, -0.974,
+         0.532, 0.156, -0.994, 0.766, -0.322, -0.722, 0.482, -0.66]
+    b = [0.396908, -0.610517, -0.951432, 0.277827, -0.093639, -0.668626,
+         -0.780831, -0.827739, 0.286778, -0.102399, -1.429229, 0.808531,
+         -0.10065, -0.504044, 0.40578, -0.486198]
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in a]), (2, [float(x) for x in b])],
+        "vec_id long, embedding array<float>",
+    )
+    # pin the premise through the real kernel: some narrow band collides,
+    # no wide band does
+    def keysets(planes):
+        out: dict[int, set] = {}
+        for r in embedding_band_keys(df, n_planes=planes).collect():
+            out.setdefault(r["doc_id"], set()).add(r["band_key"])
+        return out
+
+    narrow, wide = keysets(8), keysets(32)
+    assert narrow[1] & narrow[2]
+    assert not (wide[1] & wide[2])
+
+    empty_store = read_signature_store(spark, dirs["store"])
+    survivors, _ = dedup_batch_embeddings(df, empty_store)
+    ids = sorted(r["vec_id"] for r in survivors.select("vec_id").collect())
+    assert ids == [1]  # the pair formed, min-id representative kept
