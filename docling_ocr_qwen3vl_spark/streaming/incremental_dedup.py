@@ -53,6 +53,7 @@ from .stream import stream_documents
 
 STORE_SCHEMA = "band_key string"
 STORE_CONFIG_FILE = "_dedup_config.json"
+STORE_WIDTH_FILE = "_dedup_width.json"
 
 
 def melt_band_keys(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -116,6 +117,7 @@ def _check_store_config(
     store_dir: str,
     cfg: ExtractConfig | None = None,
     expected: dict | None = None,
+    stamp_file: str = STORE_CONFIG_FILE,
 ) -> None:
     """Stamp the key-generation config into the store dir on first use and
     fail LOUDLY on mismatch thereafter: keys from a different config can
@@ -138,7 +140,7 @@ def _check_store_config(
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     stamp = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(store_dir, STORE_CONFIG_FILE)
+        os.path.join(store_dir, stamp_file)
     )
     fs = stamp.getFileSystem(hconf)
 
@@ -154,9 +156,11 @@ def _check_store_config(
         # compare the EXPECTED keys only: an extra legacy stamp key (e.g.
         # the pre-round-5 'threshold') is informational, not a geometry
         # change, and must not force a false full re-dedup — a MISSING
-        # expected key still mismatches (found.get -> None)
-        found = {k: found.get(k) for k in expected}
-        if found != expected:
+        # expected key still mismatches (projected get -> None).  The
+        # error reports the RAW stamp: the projection would hide exactly
+        # the contents the operator needs to identify the store.
+        projected = {k: found.get(k) for k in expected}
+        if projected != expected:
             raise ValueError(
                 f"signature store at {store_dir} was built with {found}; "
                 f"this stream is configured with {expected} — their band "
@@ -171,7 +175,7 @@ def _check_store_config(
     # no stamp: refuse to ADOPT a store that already holds data — an
     # unstamped-but-populated dir predates the guard (or lost its stamp),
     # and assuming the current config would defeat the whole check
-    if _list_batch_partitions(spark, store_dir):
+    if stamp_file == STORE_CONFIG_FILE and _list_batch_partitions(spark, store_dir):
         raise ValueError(
             f"signature store at {store_dir} holds batch data but no "
             f"{STORE_CONFIG_FILE} stamp; refusing to guess its (k, bands). "
@@ -570,21 +574,46 @@ def dedup_batch_embeddings(
     from ..operators.similarity import cosine_fast
 
     ids = batch_df.select(F.col("vec_id").alias("doc_id"))
-    # one cache boundary after each key kernel: the wide keys feed the
-    # contamination join AND the store output; the narrow keys feed the
-    # candidate self-join twice
+    # ONE cache boundary after the (single) key kernel: the wide keys
+    # feed the contamination join AND the store output
     keys = register_cache(
         embedding_band_keys(batch_df, n_bands, n_planes, dim=dim).persist(
             StorageLevel.MEMORY_AND_DISK
         ),
         kind="emb_band_keys",
     )
-    cand_keys = register_cache(
-        embedding_band_keys(batch_df, n_bands, cand_planes, dim=dim).persist(
-            StorageLevel.MEMORY_AND_DISK
-        ),
-        kind="emb_cand_keys",
-    )
+    # narrow candidate keys DERIVE from the cached wide keys whenever the
+    # geometries nest (narrow band b = planes [b*cand_planes, ...), all
+    # inside wide band 0 when n_bands*cand_planes <= n_planes) — a cheap
+    # substring projection instead of a second full matmul kernel and a
+    # second persisted copy of the batch
+    if cand_planes == n_planes:
+        cand_keys = keys
+    elif n_bands * cand_planes <= n_planes:
+        wide0 = keys.filter(F.col("band_key").startswith("e0:"))
+        cand_keys = wide0.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"e{b}:"),
+                            F.substring(
+                                "band_key", 4 + b * cand_planes, cand_planes
+                            ),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+    else:
+        cand_keys = register_cache(
+            embedding_band_keys(
+                batch_df, n_bands, cand_planes, dim=dim
+            ).persist(StorageLevel.MEMORY_AND_DISK),
+            kind="emb_cand_keys",
+        )
     left = cand_keys.select(F.col("doc_id").alias("doc_a"), "band_key")
     right = cand_keys.select(F.col("doc_id").alias("doc_b"), "band_key")
     cand = (
@@ -635,13 +664,18 @@ def start_incremental_embedding_dedup_stream(
     start_incremental_dedup_stream contract (exactly-once survivors +
     band-key store, config stamp, periodic compaction) with sign-bucket
     LSH keys.  The stamp records the STORE-KEY GEOMETRY only (kind,
-    n_bands, n_planes, dim) — keys from a different plane geometry or
-    vector width can never collide with the stored ones, so a geometry
-    change against an existing store fails loudly exactly like the text
-    path.  ``threshold`` and ``cand_planes`` are NOT stamped: they gate
-    only the in-batch candidate/verify pass (the store holds keys, never
-    thresholds), so tuning them on restart is legitimate and must not
-    demand a full re-dedup."""
+    n_bands, n_planes) — keys from a different plane geometry can never
+    collide with the stored ones, so a geometry change against an
+    existing store fails loudly exactly like the text path.
+    ``threshold`` and ``cand_planes`` are NOT stamped: they gate only
+    the in-batch candidate/verify pass, so tuning them on restart is
+    legitimate and must not demand a full re-dedup.  Vector WIDTH is
+    stamped separately with the OBSERVED width of the first batch
+    (``_dedup_width.json``, validated every batch): the plane grid is
+    width-sized, so a restart against the same store with a different
+    encoder width would silently re-admit every stored near-duplicate —
+    declaring ``dim`` additionally makes the per-batch ragged check
+    absolute, but the width guard does not depend on it."""
     _check_store_config(
         spark,
         store_dir,
@@ -649,19 +683,27 @@ def start_incremental_embedding_dedup_stream(
             "kind": "embedding_lsh",
             "n_bands": n_bands,
             "n_planes": n_planes,
-            "dim": dim,
         },
     )
 
     from .stream import start_foreach_batch_stream, stream_embeddings
 
-    process_batch = _make_process_batch(
-        spark,
-        lambda batch_df, store: dedup_batch_embeddings(
+    def dedup_fn(batch_df: DataFrame, store: DataFrame):
+        observed = batch_df.select(
+            F.size("embedding").alias("w")
+        ).first()["w"]
+        _check_store_config(
+            spark, store_dir,
+            expected={"dim": int(observed)},
+            stamp_file=STORE_WIDTH_FILE,
+        )
+        return dedup_batch_embeddings(
             batch_df, store, n_bands, n_planes, threshold,
             cand_planes=cand_planes, dim=dim,
-        ),
-        survivors_dir, store_dir, compact_every,
+        )
+
+    process_batch = _make_process_batch(
+        spark, dedup_fn, survivors_dir, store_dir, compact_every,
     )
     return start_foreach_batch_stream(
         stream_embeddings(spark, input_dir, max_files_per_trigger),

@@ -249,7 +249,27 @@ def test_marginal_pair_caught_by_narrow_candidate_bands(spark, dirs):
     assert narrow[1] & narrow[2]
     assert not (wide[1] & wide[2])
 
+    from docling_ocr_qwen3vl_spark.operators.caching import scoped_caches
+
     empty_store = read_signature_store(spark, dirs["store"])
-    survivors, _ = dedup_batch_embeddings(df, empty_store)
-    ids = sorted(r["vec_id"] for r in survivors.select("vec_id").collect())
+    with scoped_caches():  # dedup_batch_embeddings registers caches
+        survivors, _ = dedup_batch_embeddings(df, empty_store)
+        ids = sorted(
+            r["vec_id"] for r in survivors.select("vec_id").collect()
+        )
     assert ids == [1]  # the pair formed, min-id representative kept
+
+
+def test_width_drift_against_existing_store_fails_loudly(spark, dirs):
+    """The observed-width stamp (review round-5): a restart against the
+    same store with a DIFFERENT encoder width must fail loudly — the
+    plane grid is width-sized, so drifted keys would silently re-admit
+    every stored near-duplicate.  The guard uses the OBSERVED first-batch
+    width, so it holds even at the default dim=None."""
+    _write_batch(spark, dirs["in"], "b1", [(0, _vec(0)), (1, _vec(1))])
+    _run(spark, dirs)
+
+    wide = [(10, [0.1 * k for k in range(DIM * 2)])]
+    _write_batch(spark, dirs["in"], "b2", wide)
+    with pytest.raises(Exception, match="band keys are incompatible"):
+        _run(spark, dirs)
