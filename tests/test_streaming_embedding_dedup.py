@@ -273,3 +273,45 @@ def test_width_drift_against_existing_store_fails_loudly(spark, dirs):
     _write_batch(spark, dirs["in"], "b2", wide)
     with pytest.raises(Exception, match="band keys are incompatible"):
         _run(spark, dirs)
+
+
+def test_derived_candidate_keys_equal_kernel_keys(spark, sf_dir):
+    """dedup_batch_embeddings derives the narrow candidate keys from the
+    cached wide keys by substring when the geometries nest; the derived
+    set must equal what the kernel computes directly at cand_planes —
+    over the real gate corpus, not one constructed pair."""
+    from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        EMBEDDING_CAND_PLANES,
+        EMBEDDING_N_PLANES,
+        embedding_band_keys,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).limit(200)
+    wide = embedding_band_keys(emb, n_planes=EMBEDDING_N_PLANES, vec_col="v")
+    wide0 = wide.filter(F.col("band_key").startswith("e0:"))
+    derived = wide0.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"e{b}:"),
+                        F.substring(
+                            "band_key",
+                            4 + b * EMBEDDING_CAND_PLANES,
+                            EMBEDDING_CAND_PLANES,
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    direct = embedding_band_keys(
+        emb, n_planes=EMBEDDING_CAND_PLANES, vec_col="v"
+    )
+    a = {(r["doc_id"], r["band_key"]) for r in derived.collect()}
+    b = {(r["doc_id"], r["band_key"]) for r in direct.collect()}
+    assert a == b and len(a) == 800  # 200 vectors x 4 bands
