@@ -62,6 +62,60 @@ def word_shingles(text_col: Column, width: int = SHINGLE_WIDTH) -> Column:
 N_BANDS = 2
 
 
+def _shingle_spans(text: str, width: int):
+    """(enc, [(lo, hi), ...]): the UTF-8 bytes of the space-joined words and
+    the byte span of every width-word shingle inside them.
+
+    ``" ".join(ws[i:i+width])`` IS the byte slice ``enc[lo_i:hi_i]`` of
+    ``enc = " ".join(ws).encode()``: words contain no whitespace (split()
+    boundaries) and 0x20 never occurs inside a UTF-8 multi-byte sequence
+    (continuation bytes are >= 0x80), so every space byte is a word
+    boundary.  Slicing a shared buffer replaces the per-shingle
+    list-slice + str.join + str.encode of the previous kernels (measured
+    ~2x on the whole fast kernel at width=3) while producing byte-identical
+    md5 inputs."""
+    import numpy as np
+
+    ws = (text or "").split()
+    n_words = len(ws)
+    enc = " ".join(ws).encode("utf-8")
+    if n_words <= width:
+        # single (possibly short) shingle == the whole text
+        return enc, [(0, len(enc))]
+    u8 = np.frombuffer(enc, dtype=np.uint8)
+    spaces = np.flatnonzero(u8 == 0x20)
+    n_sh = n_words - (width - 1)
+    los = np.empty(n_words, dtype=np.int64)
+    los[0] = 0
+    los[1:] = spaces + 1
+    his = np.empty(n_words, dtype=np.int64)
+    his[:-1] = spaces
+    his[-1] = len(enc)
+    return enc, list(zip(los[:n_sh].tolist(), his[width - 1 :].tolist()))
+
+
+def _digests60(enc: bytes, spans) -> "np.ndarray":
+    """First 60 bits of md5 of every byte span, as uint64 — one md5 call
+    per shingle, digest->int vectorized through one numpy view instead of
+    a per-shingle int.from_bytes (== int(hexdigest()[:15], 16))."""
+    import hashlib
+
+    import numpy as np
+
+    md5 = hashlib.md5
+    mv = memoryview(enc)
+    joined = b"".join(md5(mv[lo:hi]).digest() for lo, hi in spans)
+    return (
+        np.frombuffer(joined, dtype=np.uint8)
+        .reshape(len(spans), 16)[:, :8]
+        .copy()
+        .view(">u8")
+        .ravel()
+        .astype(np.uint64)
+        >> np.uint64(4)
+    )
+
+
 def _minhash_kernel(
     text: str,
     k: int = N_MINHASHES,
@@ -76,27 +130,30 @@ def _minhash_kernel(
     state-copy + 2-3-byte salt updates (``md5(s).copy().update(salt)`` ==
     ``md5(s + salt)``) — vs the naive k full passes per shingle.  This is
     what keeps production-sized k (64+) affordable: the shingle bytes
-    dominate, and they are hashed once regardless of k.
+    dominate, and they are hashed once regardless of k.  Shingle bytes are
+    sliced from one shared buffer (see _shingle_spans).
     """
     import hashlib
 
-    ws = [w for w in (text or "").split() if w]
-    n_sh = max(len(ws) - (width - 1), 1)
+    md5 = hashlib.md5
+    enc, spans = _shingle_spans(text, width)
+    mv = memoryview(enc)
     salts = [f"#{j}".encode() for j in range(k)]
     mins = [1 << 62] * k
-    for i in range(n_sh):
-        base = hashlib.md5(" ".join(ws[i : i + width]).encode("utf-8"))
+    from_bytes = int.from_bytes
+    for lo, hi in spans:
+        base = md5(mv[lo:hi])
         for j, salt in enumerate(salts):
             lane = base.copy()
             lane.update(salt)
             # == int(hexdigest()[:15], 16): the first 60 bits, without the
             # hex-string round-trip (measured ~1.6x on the whole kernel)
-            v = int.from_bytes(lane.digest()[:8], "big") >> 4
+            v = from_bytes(lane.digest()[:8], "big") >> 4
             if v < mins[j]:
                 mins[j] = v
     rows = k // n_bands
     bands = tuple(
-        hashlib.md5(
+        md5(
             ",".join(map(str, mins[b * rows : (b + 1) * rows])).encode()
         ).hexdigest()
         for b in range(n_bands)
@@ -177,22 +234,10 @@ def _minhash_fast_kernel(
 
     import numpy as np
 
-    ws = [w for w in (text or "").split() if w]
-    n_sh = max(len(ws) - (width - 1), 1)
-    bases = np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.md5(" ".join(ws[i : i + width]).encode("utf-8")).digest()[:8],
-                "big",
-            )
-            >> 4
-            for i in range(n_sh)
-        ),
-        dtype=np.uint64,
-        count=n_sh,
-    )
+    enc, spans = _shingle_spans(text, width)
+    bases = _digests60(enc, spans)
     lanes = (bases[:, None] ^ salts[None, :]) * np.uint64(_FAST_MULT) >> np.uint64(4)
-    sig = [int(v) for v in lanes.min(axis=0)]
+    sig = lanes.min(axis=0).tolist()
     rows = k // n_bands
     bands = tuple(
         hashlib.md5(
@@ -295,30 +340,34 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
             ),
             kind="signatures",
         )
-    pairs = None
-    for band in bands:
-        left = keyed.select(F.col(id_col).alias("doc_a"), F.col(band).alias("bk"))
-        right = keyed.select(F.col(id_col).alias("doc_b"), F.col(band).alias("bk"))
-        p = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    # ONE melted self-join on (band index, band key) instead of one join
+    # per band + union: the pair set is identical (a pair collides iff it
+    # shares SOME band — (bi, bk) equality is exactly per-band equality),
+    # but the plan reads the cached projection 2x instead of 2 x n_bands
+    # times and carries 2 exchanges instead of 2 x n_bands (round 6: the
+    # 1.28M-doc sweep pairs stage runs within ~1 s of the bare signature
+    # kernel, i.e. the join machinery all but disappears; same n_pairs).
+    melted = keyed.select(
+        F.col(id_col), F.posexplode(F.array(*bands)).alias("bi", "bk")
+    )
+    left = melted.select(F.col(id_col).alias("doc_a"), "bi", "bk")
+    right = melted.select(F.col(id_col).alias("doc_b"), "bi", "bk")
+    return (
+        left.join(right, ["bi", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def _simhash_kernel(text: str, bits: int = SIMHASH_BITS, width: int = SHINGLE_WIDTH):
     """Pure-Python/numpy simhash: md5-derived 60-bit shingle hashes, per-bit
-    strict majority (ties -> 0).  Bit-identical to the DuckDB oracle."""
-    import hashlib
-
+    strict majority (ties -> 0).  Bit-identical to the DuckDB oracle
+    (``int(hexdigest()[:15], 16)`` == the _digests60 byte form)."""
     import numpy as np
 
-    ws = [w for w in (text or "").split() if w]
-    n_sh = max(len(ws) - (width - 1), 1)
-    hashes = np.empty(n_sh, dtype=np.uint64)
-    for i in range(n_sh):
-        shingle = " ".join(ws[i : i + width])
-        hashes[i] = int(hashlib.md5(shingle.encode("utf-8")).hexdigest()[:15], 16)
+    enc, spans = _shingle_spans(text, width)
+    hashes = _digests60(enc, spans)
     bit_counts = (
         (hashes[:, None] >> np.arange(bits, dtype=np.uint64)) & 1
     ).sum(axis=0)
@@ -485,18 +534,38 @@ def near_duplicate_components(
     return comps
 
 
-def propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
-    """ONE min-label propagation round: edges x labels equi-join + min-agg.
+def propagation_round(
+    edges: DataFrame, labels: DataFrame, frontier: DataFrame | None = None
+) -> DataFrame:
+    """ONE min-label propagation round as an un-executed plan (frontier
+    form): messages flow only from ``frontier`` (the labels that CHANGED
+    last round — pass None for the first round, where every label is
+    fresh), so steady-state rounds join a shrinking frontier against the
+    static edge set instead of re-propagating every label every round.
 
-    Factored out of the fixpoint loop so its physical plan is directly
-    auditable (tests/test_plan_hygiene.py asserts no cartesian/nested-loop
-    per ITERATION — the whole-loop plan cannot be built without running the
-    jobs that drive convergence).  ``edges``: (src, dst); ``labels``:
-    (id, comp)."""
-    msgs = edges.join(labels, edges.src == labels.id).select(
-        F.col("dst").alias("id"), "comp"
+    Plan shape (audited by tests/test_plan_hygiene.py — the whole-loop
+    plan cannot be built without running the jobs that drive convergence):
+    frontier x edges equi-join on src -> min-agg per dst -> LEFT join back
+    onto labels.  Both ``edges`` (repartitioned by src) and ``labels``
+    (hash-partitioned by id from the previous round's join) arrive
+    pre-partitioned on their join keys, so the only exchange per round is
+    the (frontier-sized) message aggregation — the 100 TB property that
+    makes late rounds nearly free.
+
+    ``edges``: (src, dst); ``labels``/``frontier``: (id, comp).  Output:
+    (id, comp, chg) where ``chg`` marks labels improved this round (the
+    next frontier)."""
+    if frontier is None:
+        frontier = labels
+    msgs = edges.join(
+        frontier.select(F.col("id").alias("src"), "comp"), "src"
+    ).select(F.col("dst").alias("id"), "comp")
+    msgs_min = msgs.groupBy("id").agg(F.min("comp").alias("m"))
+    return labels.join(msgs_min, "id", "left").select(
+        "id",
+        F.least("comp", "m").alias("comp"),
+        (F.col("m").isNotNull() & (F.col("m") < F.col("comp"))).alias("chg"),
     )
-    return labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
 
 
 def dup_components(
@@ -511,32 +580,44 @@ def dup_components(
     step that turns pairwise near-dup hits into keep/drop decisions.
 
     Min-label propagation to fixpoint (the pure-DataFrame equivalent of
-    GraphX/GraphFrames connectedComponents): each iteration is one
-    edges x labels equi-join + a min-aggregate; ``localCheckpoint`` cuts
-    the growing lineage, and the loop exits as soon as no label changes
+    GraphX/GraphFrames connectedComponents), frontier form: each iteration
+    propagates messages only from the labels that CHANGED last round (see
+    propagation_round), so steady-state rounds cost one frontier-sized
+    aggregate instead of a full re-propagation; ``localCheckpoint`` cuts
+    the growing lineage, and the loop exits when the frontier empties
     (iterations needed = component diameter; LSH/banding pair sets form
     near-cliques, so 2-3 rounds in practice).  The fixpoint is a lattice
     minimum — independent of iteration order and engine, which is what
     lets a DuckDB RECURSIVE CTE recompute it as the oracle.
 
     Output: (doc_id, component)."""
+    # hash-partition the (static) edge set by the join key ONCE before the
+    # eager checkpoint: localCheckpoint preserves outputPartitioning, so
+    # every round's frontier-edges join finds the edges side already
+    # partitioned (guide §2.4: operations keyed the same way share one
+    # exchange); labels are hash(id)-partitioned the same way, and every
+    # round's left join emits hash(id) again, so across the whole fixpoint
+    # loop only the per-round (frontier-sized) message aggregate shuffles.
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).repartition("src").localCheckpoint(eager=True)
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    ).repartition("id").localCheckpoint(eager=True)
+
+    frontier = None  # round 1: every label is fresh
     for rounds in range(1, max_iter + 1):
-        refined = propagation_round(edges, labels).localCheckpoint(eager=True)
-        changed = (
-            refined.join(labels.withColumnRenamed("comp", "prev"), "id")
-            .filter(F.col("comp") != F.col("prev"))
-            .count()
+        refined = propagation_round(edges, labels, frontier).localCheckpoint(
+            eager=True
         )
-        labels = refined
-        if changed == 0:
+        frontier = refined.filter("chg").select("id", "comp")
+        labels = refined.select("id", "comp")
+        # an empty frontier IS the convergence witness: labels only ever
+        # decrease, and a label can next improve only via a message from a
+        # label that improved this round
+        if frontier.isEmpty():
             if stats_out is not None:
                 stats_out["rounds"] = rounds
             break
@@ -545,7 +626,7 @@ def dup_components(
         # labelled as distinct components — fail loudly instead
         raise RuntimeError(
             f"dup_components did not converge within max_iter={max_iter} "
-            f"iterations ({changed} labels still changing); the pair graph "
-            "has a longer chain than expected — raise max_iter"
+            "iterations (labels still changing); the pair graph has a "
+            "longer chain than expected — raise max_iter"
         )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
