@@ -33,20 +33,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# (session id, analyzed-plan semanticHash, width) -> decision.  The probe
+# itself (plan -> RDD conversion) costs ~0.1 s of driver time per build;
+# a bench/driver run rebuilds the same query plans repeatedly, and the
+# decision is deterministic per semantic plan + session conf, so memoize.
+# Bounded: evicted wholesale when it grows past _MEMO_CAP (cheap, and a
+# long-lived serve process cannot leak unbounded plan hashes).
+_DECISION_MEMO: dict[tuple, bool] = {}
+_MEMO_CAP = 4096
 
-def spread_for_kernel(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to defaultParallelism when (and only when)
-    the input is effectively narrower than the cluster's slot count.
-    Streaming DataFrames pass through untouched (no RDD conversion exists
-    for them; the foreachBatch micro-batch frames the engine actually runs
-    kernels on are batch frames and DO spread)."""
-    if df.isStreaming:
-        return df
-    sc = df.sparkSession.sparkContext
-    width = sc.defaultParallelism
+
+def _probe_is_narrow(df: DataFrame, width: int) -> bool:
     parts = df.rdd.getNumPartitions()
     if parts < width:
-        return df.repartition(width)
+        return True
     if parts < width * 8:
         # split count looks wide but may be hollow (see module docstring):
         # a file-backed plan cannot parallelize a row group across tasks,
@@ -58,5 +58,35 @@ def spread_for_kernel(df: DataFrame) -> DataFrame:
         except Exception:
             n_files = 0
         if 0 < n_files < width:
-            return df.repartition(width)
-    return df
+            return True
+    return False
+
+
+def spread_for_kernel(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to defaultParallelism when (and only when)
+    the input is effectively narrower than the cluster's slot count.
+    Streaming DataFrames pass through untouched (no RDD conversion exists
+    for them; the foreachBatch micro-batch frames the engine actually runs
+    kernels on are batch frames and DO spread)."""
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    width = sc.defaultParallelism
+    try:
+        key = (
+            sc.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            width,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _DECISION_MEMO:
+        narrow = _DECISION_MEMO[key]
+    else:
+        narrow = _probe_is_narrow(df, width)
+        if key is not None:
+            if len(_DECISION_MEMO) >= _MEMO_CAP:
+                _DECISION_MEMO.clear()
+            _DECISION_MEMO[key] = narrow
+    return df.repartition(width) if narrow else df

@@ -33,10 +33,11 @@ def repartition_pages(
     Hash on (doc_id, page_no) — not doc_id alone — so documents with many
     pages spread across tasks.  Always pass an EXPLICIT count: the decode
     stage is CPU-bound, and AQE's size-based coalescing would serialize it
-    on small byte volumes.
+    on small byte volumes.  1x parallelism (see synth_raw_pages): each
+    extra Python task costs ~9 ms of serialized launch overhead.
     """
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 2
+        num_partitions = spark.sparkContext.defaultParallelism
     return raw_pages.repartition(num_partitions, F.xxhash64("doc_id", "page_no"))
 
 
@@ -86,7 +87,7 @@ def extract_spans_from_interleaved(
     from ..sources.interleaved import RAW_TEXT_KINDS, explode_interleaved
 
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 2
+        num_partitions = spark.sparkContext.defaultParallelism
 
     rows = explode_interleaved(interleaved).repartition(
         num_partitions, F.xxhash64("doc_id", "in_offset")

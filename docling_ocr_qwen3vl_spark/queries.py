@@ -31,7 +31,17 @@ from .sources.tables import load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # Widen narrow scans BEFORE the per-doc expression work: the sf
+    # documents table is a single parquet split, so without this every
+    # doc-rooted query's projection/aggregation (HOF folds, regex
+    # cascades, paragraph splits) ran on ONE core until its first
+    # exchange — measured round 6 at sf0.1: paragraph_cells' whole
+    # pre-window stage (1.0 s) was a single task.  Wide scans pass
+    # through untouched (operators/partitioning.py), so at 100 TB this
+    # is a no-op.
+    from .operators.partitioning import spread_for_kernel
+
+    return spread_for_kernel(load_table(spark, sf_dir, "documents"))
 
 
 def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,11 +141,19 @@ def q_paragraph_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.when(F.col("doc_id") % 4 == 0, fallback_payload).otherwise(
         normal_payload
     )
-    d = _docs_words(spark, sf_dir).select(
-        "doc_id", split_paragraphs_col(payload).alias("paras")
+    # ONE exchange, placed FIRST: hash-partition by doc_id straight off the
+    # scan, so (a) the whole interpreted word/split expression tree runs at
+    # cluster width instead of at the (often single-split) scan's width,
+    # and (b) the paragraph_cells window downstream reuses this exact
+    # partitioning — no second exchange.  Round-6 measurement at sf0.1:
+    # paragraph_cells 1.24 s -> 0.37 s.  (A round-robin spread followed by
+    # a keyed repartition does NOT work here: CollapseRepartition removes
+    # the inner one and the expression work lands back on the narrow side.)
+    base = load_table(spark, sf_dir, "documents").repartition("doc_id").select(
+        "doc_id", words(F.col("text")).alias("ws")
     )
-    return d.select(
-        "doc_id", F.posexplode("paras").alias("seq", "paragraph")
+    return base.select(
+        "doc_id", F.posexplode(split_paragraphs_col(payload)).alias("seq", "paragraph")
     ).select("doc_id", F.col("seq").cast("int").alias("seq"), "paragraph")
 
 
@@ -285,10 +303,15 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-group on normalized text, keep min doc_id."""
+    """Exact dedup: hash-group on normalized text, keep min doc_id.
+
+    Reads the raw table (no _docs spread): the per-row work is one md5
+    and the partial aggregation shrinks rows immediately, so a spread
+    exchange costs more than the single-task map at bench scale (round-6
+    measurement: 0.15 s unspread vs 0.21 s spread at sf0.1)."""
     fp = F.md5(F.lower(collapse_ws(F.trim(F.col("text")))))
     return (
-        _docs(spark, sf_dir)
+        load_table(spark, sf_dir, "documents")
         .select("doc_id", fp.alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").cast("long").alias("n_dups"))
@@ -473,8 +496,15 @@ def _replay_stream(
             frame.filter(batch_key == b).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(scratch)
-            part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
-            shutil.move(part, os.path.join(dirs["in"], f"b{b}.parquet"))
+            parts = glob.glob(os.path.join(scratch, "part-*.parquet"))
+            if not parts:
+                # an empty slice writes only _SUCCESS; a bare [0] would
+                # IndexError with no hint which batch was empty
+                raise RuntimeError(
+                    f"streaming replay: batch {b} of {n_batches} has no "
+                    "rows — the batch_key does not cover every batch"
+                )
+            shutil.move(parts[0], os.path.join(dirs["in"], f"b{b}.parquet"))
             q = start_fn(dirs["in"], dirs["out"], dirs["store"], dirs["ckpt"])
             if not q.awaitTermination(600):
                 q.stop()

@@ -185,7 +185,15 @@ def synth_raw_pages(
     if documents is None:
         documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 2
+        # 1x parallelism, not 2x: every partition of the downstream decode
+        # stage is a Python task, and each Python task carries a measured
+        # ~9 ms of serialized launch overhead (round 6, local[32]: an
+        # identity mapInPandas over 10k rows costs 0.23 s at 1 task,
+        # 0.66 s at 64, 1.24 s at 128 — linear in task count).  The page
+        # salt spreads work uniformly, so the 2x headroom bought nothing
+        # while doubling that fixed cost; clusters that want finer task
+        # granularity for skew pass num_partitions explicitly.
+        num_partitions = spark.sparkContext.defaultParallelism
 
     doc = F.col("doc_id")
     base = documents.select(

@@ -254,20 +254,29 @@ def compact_signature_store(
         store_dirs plus a shared read-only lookup, not one store;
       * crash-safe without a transaction log: the consolidated segment is
         written to a scratch dir and RENAMED to ``batch_id=-current``
-        BEFORE any source is deleted, so ``batch_id=-current`` exists
-        if-and-only-if it holds every source's keys.  A retry that finds
-        it present skips straight to deleting leftover sources; a retry
-        that does not recomputes from the (still intact) sources.
-        Mid-delete crashes only leave temporary key DUPLICATES between
-        the segment and undeleted sources — harmless for an
-        existence-join store.
+        BEFORE any source is deleted, and a MARKER file (``_folded``,
+        naming the folded sources) is written into the segment AFTER the
+        rename.  Sources are deleted only once the marker exists.  On
+        HDFS the rename is atomic and the marker is belt-and-braces; on
+        object stores (s3a) a directory "rename" is a non-atomic
+        copy+delete, so a crash mid-rename can leave a PARTIAL segment at
+        ``batch_id=-current`` — without the marker a retry would treat it
+        as complete and delete the sources, silently losing store keys
+        and re-admitting previously-seen near-duplicates.  With the
+        marker, a retry that finds a marker-less segment discards it and
+        recomputes from the (still intact) sources.  Mid-delete crashes
+        only leave temporary key DUPLICATES between the segment and
+        undeleted sources — harmless for an existence-join store.
     """
+    import json
+
     jvm, fs = _store_fs(spark, store_dir)
 
     def hpath(name: str):
         return jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, name))
 
     target = -int(current_batch_id)
+    marker = hpath(f"batch_id={target}/_folded")
     sources = [
         bid
         for bid in _list_batch_partitions(spark, store_dir)
@@ -275,6 +284,11 @@ def compact_signature_store(
     ]
     if not sources:
         return 0
+    if fs.exists(hpath(f"batch_id={target}")) and not fs.exists(marker):
+        # a prior attempt crashed between rename start and marker write:
+        # the segment's completeness is unknown (non-atomic object-store
+        # rename) — discard it and recompute from the intact sources
+        fs.delete(hpath(f"batch_id={target}"), True)
     if not fs.exists(hpath(f"batch_id={target}")):
         if len(sources) < 2:
             return 0  # nothing worth folding yet
@@ -295,8 +309,13 @@ def compact_signature_store(
             raise IOError(
                 f"compaction rename {COMPACT_TMP} -> batch_id={target} failed"
             )
-    # segment in place (this attempt's write or a prior attempt's): the
-    # sources' keys are all inside it — drop them
+        out = fs.create(marker, True)
+        try:
+            out.write(bytearray(json.dumps({"sources": sources}).encode()))
+        finally:
+            out.close()
+    # marker present (this attempt's write or a prior attempt's): the
+    # segment provably holds every source's keys — drop the sources
     for bid in sources:
         fs.delete(hpath(f"batch_id={bid}"), True)
     return len(sources)
@@ -689,9 +708,21 @@ def start_incremental_embedding_dedup_stream(
     from .stream import start_foreach_batch_stream, stream_embeddings
 
     def dedup_fn(batch_df: DataFrame, store: DataFrame):
-        observed = batch_df.select(
-            F.size("embedding").alias("w")
-        ).first()["w"]
+        first = batch_df.select(
+            "vec_id", F.size("embedding").alias("w")
+        ).first()
+        observed = first["w"] if first is not None else None
+        if observed is None or observed <= 0:
+            # a NULL/empty first embedding must not poison the width stamp
+            # (a stamped dim=-1 would fail every later valid batch until
+            # the stamp is hand-deleted) — fail loudly, naming the culprit,
+            # exactly like embedding_band_keys does for ragged rows
+            raise ValueError(
+                "embedding width probe: first row "
+                f"(vec_id {None if first is None else first['vec_id']}) has "
+                f"null/empty embedding (size {observed}) — fix or filter "
+                "the input before streaming it"
+            )
         _check_store_config(
             spark, store_dir,
             expected={"dim": int(observed)},

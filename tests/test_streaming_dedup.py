@@ -231,10 +231,15 @@ def test_compact_signature_store_idempotent_retry(spark, tmp_path):
     write_keys(0, ["0:aa", "1:bb"])
     write_keys(1, ["0:cc"])
     # simulate a prior attempt that renamed the consolidated segment into
-    # place and then crashed mid-delete: batch 0's keys live ONLY in -2 now
+    # place, wrote its completeness marker (deletes only ever start AFTER
+    # the marker exists), then crashed mid-delete: batch 0's keys live
+    # ONLY in -2 now
     write_keys(-2, ["0:aa", "1:bb", "0:cc"])
+    import json
     import shutil
 
+    with open(os.path.join(store, "batch_id=-2", "_folded"), "w") as f:
+        json.dump({"sources": [0, 1]}, f)
     shutil.rmtree(os.path.join(store, "batch_id=0"))
 
     assert compact_signature_store(spark, store, 2) == 1  # deletes leftover 1
@@ -245,6 +250,41 @@ def test_compact_signature_store_idempotent_retry(spark, tmp_path):
     }
     assert got == {"0:aa", "1:bb", "0:cc"}  # nothing recomputed away
     assert compact_signature_store(spark, store, 2) == 0  # no-op now
+
+
+def test_compact_discards_markerless_partial_segment(spark, tmp_path):
+    """A consolidated segment WITHOUT its completeness marker is a crashed
+    mid-rename artifact (object-store directory rename is a non-atomic
+    copy+delete): it may be missing keys, so a retry must discard it and
+    recompute from the still-intact sources instead of trusting it and
+    deleting them — the silent-key-loss path the marker exists to close."""
+    import json
+
+    from docling_ocr_qwen3vl_spark.streaming.incremental_dedup import (
+        compact_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+
+    def write_keys(bid, keys):
+        spark.createDataFrame([(k,) for k in keys], "band_key string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store, f"batch_id={bid}"))
+
+    write_keys(0, ["0:aa", "1:bb"])
+    write_keys(1, ["0:cc"])
+    # partial copy from a crashed rename: one key missing, NO marker
+    write_keys(-2, ["0:aa"])
+
+    assert compact_signature_store(spark, store, 2) == 2
+    assert _store_partition_dirs(store) == [-2]
+    got = {
+        r.band_key
+        for r in spark.read.parquet(os.path.join(store, "batch_id=-2")).collect()
+    }
+    assert got == {"0:aa", "1:bb", "0:cc"}  # recomputed, nothing lost
+    with open(os.path.join(store, "batch_id=-2", "_folded")) as f:
+        assert json.load(f)["sources"] == [0, 1]
 
 
 def test_dedup_survivors_query_has_streaming_arm(spark):
