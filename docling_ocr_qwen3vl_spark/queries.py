@@ -985,15 +985,25 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------- training-data pipeline (batch 3)
 def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Originals plus deterministic near-duplicates (doc_id + 1,000,000,
-    two words appended) — gives the dedup operators true positives."""
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    two words appended) — gives the dedup operators true positives.
+
+    Spread AFTER the union, not per branch: a per-branch spread doubles
+    the downstream signature kernel's partition count (width + width),
+    and every extra Python task costs ~9 ms of serialized launch overhead
+    (round-6 measurement: the k8 signature stage alone dropped 0.88 s ->
+    ~0.5 s at sf0.1 when the union spread once to cluster width)."""
+    from .operators.partitioning import spread_for_kernel
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
     mutants = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
         "lang",
         "n_chars",
     )
-    return d.unionByName(mutants)
+    return spread_for_kernel(d.unionByName(mutants))
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
